@@ -1,0 +1,138 @@
+"""Frozen word-bigram language model (KenLM-API-shaped stand-in).
+
+KenLM is unavailable offline (SURVEY.md §7.5), so the perplexity stage uses
+a deterministic bigram count model built at import from a fixed seed. The
+fixture generator samples "clean" text from THIS model's Markov chain, so
+in-domain text scores low perplexity and gibberish scores high — the same
+separation a real KenLM gives on web text. The loader seam
+(``get_model()``) is where real ARPA weights would plug in; the Spark side
+holds the model in a per-Python-worker singleton (broadcast-once property,
+BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .textcore import CONTENT_WORDS, STOPWORDS, tokenize
+
+VOCAB: tuple[str, ...] = tuple(dict.fromkeys(STOPWORDS + CONTENT_WORDS))
+_V = len(VOCAB)
+_INDEX = {w: i for i, w in enumerate(VOCAB)}
+UNK = _V  # out-of-vocab id
+
+_SMOOTH = 0.1
+_SEED = 42
+_TRAIN_SENTENCES = 4000
+_TRAIN_MAXLEN = 24
+
+
+def _build_transition_weights() -> np.ndarray:
+    """Deterministic 'grammar': seeded sparse preference matrix."""
+    rng = np.random.RandomState(_SEED)
+    w = rng.gamma(0.3, 1.0, size=(_V, _V))
+    # stopwords are hubs: boost transitions into and out of them
+    n_stop = len(STOPWORDS)
+    w[:, :n_stop] *= 4.0
+    w[:n_stop, n_stop:] *= 4.0
+    return w / w.sum(axis=1, keepdims=True)
+
+
+_TRANS = _build_transition_weights()
+_START = np.full(_V, 1.0 / _V)
+
+
+def sample_words(rng: np.random.RandomState, n: int) -> list[str]:
+    """Sample an n-word sequence from the frozen Markov chain.
+
+    Used by both LM training (below) and the fixture generator, so fixture
+    'clean' text is in-domain by construction.
+    """
+    out = []
+    cur = int(rng.choice(_V, p=_START))
+    out.append(VOCAB[cur])
+    for _ in range(n - 1):
+        cur = int(rng.choice(_V, p=_TRANS[cur]))
+        out.append(VOCAB[cur])
+    return out
+
+
+def _train_counts() -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(_SEED + 1)
+    uni = np.zeros(_V + 1, dtype=np.int64)
+    bi = np.zeros((_V + 1, _V + 1), dtype=np.int64)
+    for _ in range(_TRAIN_SENTENCES):
+        ws = sample_words(rng, int(rng.randint(4, _TRAIN_MAXLEN)))
+        ids = [_INDEX[w] for w in ws]
+        prev = ids[0]
+        uni[prev] += 1
+        for cur in ids[1:]:
+            uni[cur] += 1
+            bi[prev, cur] += 1
+            prev = cur
+    return uni, bi
+
+
+# probability mass reserved for out-of-vocab words: one OOV token costs
+# -log(P_UNK) ≈ 6.9 nats, so a 100%-OOV doc scores ppl ≈ 1000 while a doc
+# with a few OOV words (emails, names) is barely moved — that is the
+# separation the ppl_high rule keys on.
+_P_UNK = 0.001
+# bigram→unigram interpolation: unseen-but-in-vocab bigrams back off to the
+# unigram, so in-domain word-salad scores moderate ppl (~V/λ_uni) instead
+# of the Laplace floor, keeping it well under the OOV gibberish band.
+_LAMBDA_BI = 0.6
+
+
+class BigramLM:
+    """Laplace-smoothed bigram LM over the frozen vocab with an explicit
+    OOV probability."""
+
+    def __init__(self) -> None:
+        self.uni, self.bi = _train_counts()
+        # in-vocab tables only (UNK handled by the explicit floor)
+        uni = self.uni[:_V].astype(np.float64)
+        bi = self.bi[:_V, :_V].astype(np.float64)
+        denom = uni[:, None] + _SMOOTH * _V
+        p_bi = (bi + _SMOOTH) / denom
+        p_uni = (uni + _SMOOTH) / (uni.sum() + _SMOOTH * _V)
+        # interpolated conditional, scaled by the in-vocab mass
+        p_mix = (_LAMBDA_BI * p_bi + (1 - _LAMBDA_BI) * p_uni[None, :]) * (1 - _P_UNK)
+        self.logp_bi = np.log(p_mix)
+        self.logp_uni = np.log(p_uni * (1 - _P_UNK))
+        self.logp_unk = math.log(_P_UNK)
+
+    def word_ids(self, text: str) -> list[int]:
+        return [_INDEX.get(w.lower(), UNK) for w in tokenize(text)]
+
+    def perplexity(self, text: str) -> float:
+        ids = self.word_ids(text)
+        if len(ids) < 2:
+            return 1.0
+        lp = 0.0
+        prev = ids[0]
+        for cur in ids[1:]:
+            if cur == UNK:
+                lp += self.logp_unk
+            elif prev == UNK:
+                lp += self.logp_uni[cur]
+            else:
+                lp += self.logp_bi[prev, cur]
+            prev = cur
+        return float(round(math.exp(-lp / (len(ids) - 1)), 6))
+
+    def perplexity_batch(self, texts: list[str | None]) -> list[float]:
+        return [self.perplexity(t) if t else 1.0 for t in texts]
+
+
+_MODEL: BigramLM | None = None
+
+
+def get_model() -> BigramLM:
+    """Per-process singleton — loaded once per executor Python worker."""
+    global _MODEL
+    if _MODEL is None:
+        _MODEL = BigramLM()
+    return _MODEL

@@ -1,0 +1,104 @@
+"""Arrow-batched pandas UDFs — the only Python in the hot path.
+
+Two JVM↔Python boundaries total in the flagship plan (SURVEY.md §4):
+``annotate_udf`` (langid + perplexity + repetition signal, fused into ONE
+ArrowEvalPython node) and ``scrub_udf``. Both use the Iterator form so
+model/regex state is initialized once per executor Python worker and
+reused across Arrow batches ("model broadcast once per executor, no
+per-row Python" — BASELINE.json north_star).
+
+All per-row logic is imported from ``textcore``/``lm`` — the same modules
+the test oracle uses — so Spark output is byte-identical to the oracle by
+construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import textcore
+from .lm import get_model
+
+ANNOTATE_SCHEMA = T.StructType([
+    T.StructField("text_extracted", T.StringType()),
+    T.StructField("lang_pred", T.StringType()),
+    T.StructField("lang_conf", T.DoubleType()),
+    T.StructField("ppl", T.DoubleType()),
+    T.StructField("top_bigram_share", T.DoubleType()),
+])
+
+SCRUB_SCHEMA = T.StructType([
+    T.StructField("scrubbed_text", T.StringType()),
+    T.StructField("pii_email", T.IntegerType()),
+    T.StructField("pii_ip", T.IntegerType()),
+    T.StructField("pii_phone", T.IntegerType()),
+    T.StructField("toxicity_slur", T.IntegerType()),
+])
+
+
+@F.pandas_udf(ANNOTATE_SCHEMA)
+def annotate_udf(
+    batches: Iterator[tuple[pd.Series, pd.Series]],
+) -> Iterator[pd.DataFrame]:
+    """(html, text) -> (text_extracted, lang_pred, lang_conf, ppl, top_bigram_share).
+
+    Fuses extraction + langid + perplexity + repetition into a single
+    ArrowEvalPython node — one boundary crossing instead of three.
+    Extraction precedence: html when present, else the text column.
+    """
+    model = get_model()  # per-worker singleton, loaded once
+    for htmls, texts in batches:
+        rows = []
+        for b, t in zip(htmls, texts):
+            if b is not None:
+                txt = textcore.extract_text(bytes(b))
+            elif isinstance(t, str):
+                txt = t
+            else:
+                txt = ""
+            lang, conf = textcore.lang_id(txt)
+            rows.append((
+                txt, lang, conf, model.perplexity(txt),
+                textcore.top_bigram_share(txt),
+            ))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "text_extracted", "lang_pred", "lang_conf", "ppl",
+                "top_bigram_share",
+            ],
+        )
+
+
+@F.pandas_udf(SCRUB_SCHEMA)
+def scrub_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """text -> (scrubbed_text, per-rule match counts)."""
+    for texts in batches:
+        rows = []
+        for t in texts:
+            if not isinstance(t, str):
+                rows.append(("", 0, 0, 0, 0))
+                continue
+            out, c = textcore.scrub_text(t)
+            rows.append((
+                out, c["pii_email"], c["pii_ip"], c["pii_phone"],
+                c["toxicity_slur"],
+            ))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "scrubbed_text", "pii_email", "pii_ip", "pii_phone",
+                "toxicity_slur",
+            ],
+        )
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """html binary -> extracted text (byte-stable; see textcore.extract_text)."""
+    for htmls in batches:
+        yield htmls.map(lambda b: textcore.extract_text(bytes(b)) if b is not None else "")

@@ -1,0 +1,151 @@
+"""Inter-arrival-time (cadence) statistics — the reference's IAT metrics
+re-expressed as shuffle-minimal native aggregations.
+
+Reference semantics (SURVEY.md §2.5-2.6): sort by (entity, ts), lag-diff to
+get IAT seconds (W1, ``/root/reference/scripts/PreProcessing.py:100-108``),
+keep IAT>=0 (zeros kept, Q2), then
+  * regularity (A8, ``scripts/metricModules.py:54-70``): relative absolute
+    error vs the mode; good ``1-2*RAE`` when RAE<=0.5 else bad ``2*RAE``;
+    score = good/(count+bad). The reference's per-row Python for-loop
+    becomes a single ``sum(when(...))`` aggregation — no UDF.
+  * outliers (A7, ``scripts/metricModules.py:78-88``): mode-centered MAD,
+    ONE-SIDED modified z-score > 3.5 (Q4), denominator = post-clean count.
+  * mode (A3, ``scripts/metricModules.py:55``): most frequent value,
+    ties -> smallest (Q3). Spark's ``mode()`` does not pin tie order, so we
+    use ``min(struct(-count, value))`` — one extra shuffle, deterministic.
+
+Scale notes: everything is two passes over a (entity, ts)-partitioned
+shuffle; per-entity state never materializes on the driver. Parity mode
+(``global_order=True``) reproduces quirk Q1 (the lag that crosses entity
+boundaries) with a single unpartitioned window — fixture-scale only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_iat(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    order_tiebreak: str | None = None,
+    global_order: bool = False,
+) -> DataFrame:
+    """Add ``iat`` (seconds, double): lag-difference of ts.
+
+    Rows with negative IAT are masked to null (reference keeps >=0, Q2);
+    the first row per entity has null IAT. Callers filter ``iat IS NOT
+    NULL`` — mirroring the reference's dropna (P5).
+    """
+    order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    if global_order:
+        w = Window.orderBy(F.col(entity), *order)
+    else:
+        w = Window.partitionBy(entity).orderBy(*order)
+    prev = F.lag(F.unix_micros(F.col(ts))).over(w)
+    iat = (F.unix_micros(F.col(ts)) - prev) / F.lit(1_000_000.0)
+    return df.withColumn("iat", F.when(iat >= 0, iat))
+
+
+def mode_smallest(df: DataFrame, value: str, group: list[str] | None = None) -> DataFrame:
+    """Exact mode with ties -> smallest value (Q3), per group or global.
+
+    Two-stage aggregation: ``groupBy(group, value).count()`` (map-side
+    partial combine) then ``min(struct(-count, value))`` — both shuffles
+    are on small cardinality-reduced data.
+    """
+    group = group or []
+    counts = df.groupBy(*group, value).agg(F.count(F.lit(1)).alias("_c"))
+    pick = F.min(F.struct((-F.col("_c")).alias("nc"), F.col(value).alias("v")))
+    out = counts.groupBy(*group).agg(pick.alias("_m"))
+    return out.select(*group, F.col("_m.v").alias("mode"))
+
+
+def _join_stat(df: DataFrame, stat: DataFrame, group: list[str]) -> DataFrame:
+    if group:
+        return df.join(F.broadcast(stat), group)
+    return df.crossJoin(F.broadcast(stat))
+
+
+def regularity_score(
+    df: DataFrame, iat_col: str = "iat", group: list[str] | None = None
+) -> DataFrame:
+    """A8 as pure columnar aggregation. Returns [group cols,] reg_score."""
+    group = group or []
+    clean = df.filter(F.col(iat_col).isNotNull())
+    m = mode_smallest(clean, iat_col, group)
+    j = _join_stat(clean, m, group)
+    rae = F.abs(F.col(iat_col) - F.col("mode")) / F.col("mode")
+    good = F.sum(F.when(rae <= 0.5, 1 - 2 * rae).otherwise(F.lit(0.0)))
+    cnt = F.sum(F.when(rae <= 0.5, F.lit(1.0)).otherwise(F.lit(0.0)))
+    bad = F.sum(F.when(rae > 0.5, 2 * rae).otherwise(F.lit(0.0)))
+    score = good / (cnt + bad)
+    return j.groupBy(*group).agg(F.round(score, 6).alias("reg_score"))
+
+
+def outlier_score(
+    df: DataFrame, iat_col: str = "iat", group: list[str] | None = None
+) -> DataFrame:
+    """A7 (mode-centered MAD, one-sided mod-z > 3.5). Returns out_score."""
+    group = group or []
+    clean = df.filter(F.col(iat_col).isNotNull())
+    m = mode_smallest(clean, iat_col, group)
+    j = _join_stat(clean, m, group)
+    dev = j.withColumn("_absdev", F.abs(F.col(iat_col) - F.col("mode")))
+    mad = dev.groupBy(*group).agg(
+        F.median("_absdev").alias("mad"), F.first("mode").alias("mode")
+    )
+    j2 = _join_stat(clean, mad, group)
+    modz = 0.6745 * (F.col(iat_col) - F.col("mode")) / F.col("mad")
+    is_out = F.when(
+        (F.col("mad") > 0) & (modz > 3.5), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return j2.groupBy(*group).agg(
+        F.round(1 - F.sum(is_out) / F.count(F.lit(1)), 6).alias("out_score")
+    )
+
+
+def outage_by_entity(df: DataFrame, entity: str, iat_col: str = "iat") -> DataFrame:
+    """A10 (``scripts/PreProcessing.py:374-382``): IAT > 2*global-mean is an
+    'outage'; sum outage seconds per entity, descending."""
+    clean = df.filter(F.col(iat_col).isNotNull())
+    mean = clean.agg(F.avg(iat_col).alias("_mu"))
+    j = clean.crossJoin(F.broadcast(mean))
+    return (
+        j.filter(F.col(iat_col) > 2 * F.col("_mu"))
+        .groupBy(entity)
+        .agg(F.round(F.sum(iat_col), 6).alias("outage_sec"))
+        .orderBy(F.desc("outage_sec"), F.col(entity))
+    )
+
+
+def iqr_fences(df: DataFrame, col: str, alpha: float = 1.5) -> DataFrame:
+    """A5 (``scripts/PreProcessing.py:119-130``): exact quartiles, fences
+    rounded to 3dp in the reference; we keep full precision + round at use."""
+    return df.agg(
+        F.percentile(col, F.lit(0.25)).alias("q1"),
+        F.percentile(col, F.lit(0.75)).alias("q3"),
+    ).select(
+        "q1",
+        "q3",
+        (F.col("q1") - alpha * (F.col("q3") - F.col("q1"))).alias("lower"),
+        (F.col("q3") + alpha * (F.col("q3") - F.col("q1"))).alias("upper"),
+    )
+
+
+def data_stats(df: DataFrame, col: str) -> DataFrame:
+    """A4 descriptive stats (explicit moment formulas so the DuckDB oracle
+    can reproduce them exactly — library skew/kurtosis definitions vary)."""
+    mu = F.avg(col)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(mu, 6).alias("mean"),
+        F.round(F.median(col), 6).alias("median"),
+        F.round(F.stddev_samp(col), 6).alias("std"),
+        F.round(F.var_samp(col), 6).alias("var"),
+        F.round(F.min(col), 6).alias("min"),
+        F.round(F.max(col), 6).alias("max"),
+    )
+    return stats

@@ -1,0 +1,164 @@
+"""The flagship quality DAG: dedup → annotate → rules → scrub → verdict.
+
+Reimagines the reference's linear report pipeline
+(``/root/reference/scripts/DQReportGenerator.py:13-162``, SURVEY.md §3 EP1)
+as one lazy DataFrame plan:
+
+    scan pages → deterministic dedup (url, warc_ts)
+               → ArrowEvalPython [extract + langid + ppl + repetition]
+               → native-Column heuristic rules (whole-stage codegen)
+               → ArrowEvalPython [PII/toxicity scrub]
+               → rules_fired lineage array + keep verdict + quality_score
+
+Expected physical plan (SURVEY.md §4): one shuffle (dedup window), two
+Python boundaries, everything else codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig, DEFAULT_CONFIG
+from ..functions import textstats as ts
+from ..functions.udfs import annotate_udf, scrub_udf
+
+# ---------------------------------------------------------------------------
+# deterministic dedup (reference D2, SURVEY.md §2.3 — keep-first with a
+# content-hash tiebreak so the winner is stable under repartitioning)
+# ---------------------------------------------------------------------------
+
+
+def dedup_pages(df: DataFrame, keys: tuple[str, ...] = ("url", "warc_ts")) -> DataFrame:
+    tiebreak = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    w = Window.partitionBy(*keys).orderBy(tiebreak.asc(), F.coalesce(F.col("lang"), F.lit("")).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rule set — (rule_id, condition Column, drops?) in frozen order.
+# The oracle (tests/oracle.py) evaluates the same list in the same order.
+# ---------------------------------------------------------------------------
+
+
+def drop_rules(cfg: PipelineConfig) -> list[tuple[str, Column]]:
+    th = cfg.thresholds
+    txt = F.col("text_extracted")
+    return [
+        ("text_blank", ts.is_blank(txt)),
+        ("ts_null", F.col("warc_ts").isNull()),
+        ("too_short", F.col("nw") < th.min_words),
+        ("too_long", F.col("nw") > th.max_words),
+        ("mean_wl_low", F.col("mean_wl") < th.min_mean_word_len),
+        ("mean_wl_high", F.col("mean_wl") > th.max_mean_word_len),
+        ("symbol_ratio", F.col("symbol_ratio") > th.max_symbol_word_ratio),
+        (
+            "stopword_frac",
+            (F.col("lang_pred") == "en") & (F.col("stopword_frac") < th.min_stopword_frac),
+        ),
+        ("dup_line", F.col("dup_line_frac") > th.max_dup_line_frac),
+        ("top_bigram", F.col("top_bigram_share") > th.max_top_bigram_share),
+        ("lang", ~F.col("lang_pred").isin(*th.allowed_langs)),
+        ("ppl_high", F.col("ppl") > th.max_perplexity),
+        ("slur", F.col("toxicity_slur") > 0),
+    ]
+
+
+def flag_rules(cfg: PipelineConfig) -> list[tuple[str, Column]]:
+    return [
+        (
+            "lang_mismatch",
+            F.col("lang").isNotNull() & (F.col("lang") != F.col("lang_pred")),
+        ),
+        ("pii_email", F.col("pii_email") > 0),
+        ("pii_ip", F.col("pii_ip") > 0),
+        ("pii_phone", F.col("pii_phone") > 0),
+    ]
+
+
+# static ids (building Columns needs an active session, so not derived)
+DROP_RULE_IDS = [
+    "text_blank", "ts_null", "too_short", "too_long", "mean_wl_low",
+    "mean_wl_high", "symbol_ratio", "stopword_frac", "dup_line",
+    "top_bigram", "lang", "ppl_high", "slur",
+]
+FLAG_RULE_IDS = ["lang_mismatch", "pii_email", "pii_ip", "pii_phone"]
+
+
+def _fired_array(rules: list[tuple[str, Column]]) -> Column:
+    tagged = F.array(*[
+        F.when(cond, F.lit(rid)).otherwise(F.lit(None)) for rid, cond in rules
+    ])
+    return F.filter(tagged, lambda x: x.isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
+
+def annotate(df: DataFrame) -> DataFrame:
+    """UDF pass 1 + native stats. Adds: text_extracted, lang_pred,
+    lang_conf, ppl, top_bigram_share, nw, mean_wl, symbol_ratio,
+    stopword_frac, dup_line_frac, host."""
+    ann = annotate_udf(F.col("html"), F.col("text"))
+    df = df.withColumn("_ann", ann).select("*", "_ann.*").drop("_ann")
+    txt = F.col("text_extracted")
+    return (
+        df.withColumn("nw", ts.n_words(txt))
+        .withColumn("mean_wl", ts.mean_word_len(txt))
+        .withColumn("symbol_ratio", ts.symbol_word_ratio(txt))
+        .withColumn("stopword_frac", ts.stopword_frac(txt))
+        .withColumn("dup_line_frac", ts.dup_line_frac(txt))
+        .withColumn("host", ts.host_of(F.col("url")))
+    )
+
+
+def scrub(df: DataFrame) -> DataFrame:
+    """UDF pass 2: scrubbed_text + PII/slur counts over text_extracted."""
+    sc = scrub_udf(F.col("text_extracted"))
+    return df.withColumn("_sc", sc).select("*", "_sc.*").drop("_sc")
+
+
+def verdict(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """keep verdict + rules_fired lineage + quality_score in [0,1]."""
+    drops = drop_rules(cfg)
+    flags = flag_rules(cfg)
+    dropped = _fired_array(drops)
+    df = (
+        df.withColumn("rules_fired", F.concat(dropped, _fired_array(flags)))
+        .withColumn("n_drop_fired", F.size(dropped))
+        .withColumn("keep", F.size(dropped) == 0)
+        .withColumn(
+            "quality_score",
+            F.lit(1.0) - F.col("n_drop_fired") / F.lit(float(len(drops))),
+        )
+        .drop("n_drop_fired")
+    )
+    return df
+
+
+def run_pipeline(
+    df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG, *, dedup: bool = True
+) -> DataFrame:
+    """Full per-document DAG over a pages DataFrame
+    (url, warc_ts, html, text, lang [, props_json])."""
+    if dedup:
+        df = dedup_pages(df, cfg.dedup_keys)
+    return verdict(scrub(annotate(df)), cfg)
+
+
+OUTPUT_COLUMNS = [
+    "url", "warc_ts", "host", "lang", "lang_pred", "lang_conf", "ppl",
+    "nw", "mean_wl", "symbol_ratio", "stopword_frac", "dup_line_frac",
+    "top_bigram_share", "pii_email", "pii_ip", "pii_phone", "toxicity_slur",
+    "keep", "quality_score", "rules_fired", "scrubbed_text",
+]
+
+
+def pages_out(df: DataFrame) -> DataFrame:
+    return df.select(*OUTPUT_COLUMNS)
