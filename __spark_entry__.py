@@ -1,38 +1,972 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship quality DAG (dedup → langid/ppl
+annotate → heuristic rules → PII/toxicity scrub → verdict) over the
+sf0.001 documents table mapped into the Common-Crawl pages shape.
+
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus
+the training-data-pipeline extensions (dedup family, similarity search,
+text analysis); ``oracle_sql()`` gives the DuckDB-equivalent SQL. Both
+sides alias columns identically and round floats to a fixed precision so
+the driver's order-insensitive value-hash comparison is deterministic.
+
+Cross-engine hash convention (SURVEY.md §2.3 / operators/dedup.py):
+``int64('0x' + md5(payload)[:15])`` — verified byte-equal between Spark
+``conv(substr(md5(x),1,15),16,10)`` and DuckDB
+``('0x' || substr(md5(x),1,15))::BIGINT``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_quality_assessment_spark.config import DEFAULT_CONFIG
+from data_quality_assessment_spark.functions import textstats as ts
+from data_quality_assessment_spark.functions.textcore import (
+    EMAIL_RE,
+    STOPWORDS,
+    SYMBOL_CLASS,
+    WHITESPACE_CLASS,
+    ENGLISH_LEXICON,
+)
+from data_quality_assessment_spark.operators import cadence, dedup
+from data_quality_assessment_spark.plans import pipeline
+
+# ---------------------------------------------------------------------------
+# shared constants (same values on the Spark and DuckDB sides)
+# ---------------------------------------------------------------------------
+
+WS = WHITESPACE_CLASS  # r"[ \t\n\r\f\x0B]"
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]"
+TH = DEFAULT_CONFIG.thresholds
+
+_SQL_WORDS = (
+    "list_filter(regexp_split_to_array(coalesce(text,''), '" + WS + "+'), "
+    "w -> w <> '')"
+)
+_SQL_STOPS = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+_SQL_LEXICON = "[" + ", ".join(f"'{w}'" for w in sorted(ENGLISH_LEXICON)) + "]"
+_SQL_H64 = "('0x' || substr(md5({x}),1,15))::BIGINT"
+
+
+def _sql_shingles(k: int) -> str:
+    """DuckDB twin of operators.dedup._shingles (word k-shingles)."""
+    return (
+        f"CASE WHEN len(w) >= {k} THEN "
+        f"list_transform(generate_series(1, len(w)-{k - 1}), "
+        f"i -> array_to_string(list_slice(w, i, i+{k - 1}), ' ')) "
+        f"ELSE [array_to_string(w, ' ')] END"
+    )
+
+
+from data_quality_assessment_spark.session import ship_package as _ensure_shipped
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the documents table into the pages shape (FIXTURES.md F6)."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/"), F.col("doc_id")
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2022-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("warc_ts"),
+        F.col("text").cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full quality DAG over sf0.001 documents-as-pages."""
+    _ensure_shipped(spark)
+    pages = _pages(spark, "/root/testdata/sf0.001")
+    return pipeline.pages_out(pipeline.run_pipeline(pages, DEFAULT_CONFIG))
+
+
+# ---------------------------------------------------------------------------
+# per-document text statistics (SURVEY.md §2.2/§2.7: P1, V1 decomposition)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return d.select(
+        "doc_id",
+        ts.n_words(txt).alias("n_words"),
+        F.round(ts.mean_word_len(txt), 6).alias("mean_wl"),
+        F.round(ts.symbol_word_ratio(txt), 6).alias("symbol_ratio"),
+        F.round(ts.stopword_frac(txt), 6).alias("stopword_frac"),
+        F.round(ts.dup_line_frac(txt), 6).alias("dup_line_frac"),
+    )
+
+
+ORACLE_DOC_TEXTSTATS = f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text,'') AS txt, {_SQL_WORDS} AS w FROM documents
+)
+SELECT doc_id,
+  len(w)::BIGINT AS n_words,
+  round(CASE WHEN len(w) > 0
+    THEN list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)
+    ELSE 0.0 END, 6) AS mean_wl,
+  round(CASE WHEN len(w) > 0
+    THEN len(regexp_extract_all(txt, '{SYMBOL_CLASS}'))::DOUBLE / len(w)
+    ELSE 0.0 END, 6) AS symbol_ratio,
+  round(CASE WHEN len(w) > 0
+    THEN len(list_filter(w, x -> list_contains({_SQL_STOPS}, lower(x))))::DOUBLE / len(w)
+    ELSE 0.0 END, 6) AS stopword_frac,
+  round(CASE WHEN len(
+      list_filter(list_transform(string_split(txt, chr(10)),
+        l -> regexp_replace(regexp_replace(l, '^{WS}+', ''), '{WS}+$', '')),
+      l -> l <> '')) > 0
+    THEN 1.0 - len(list_distinct(
+      list_filter(list_transform(string_split(txt, chr(10)),
+        l -> regexp_replace(regexp_replace(l, '^{WS}+', ''), '{WS}+$', '')),
+      l -> l <> '')))::DOUBLE
+      / len(list_filter(list_transform(string_split(txt, chr(10)),
+        l -> regexp_replace(regexp_replace(l, '^{WS}+', ''), '{WS}+$', '')),
+      l -> l <> ''))
+    ELSE 0.0 END, 6) AS dup_line_frac
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# heuristic rule engine, SQL-expressible subset (SURVEY.md §2.7 V1→rules)
+# ---------------------------------------------------------------------------
+
+_DOC_RULES_SPARK: list[tuple[str, Callable[[], F.Column]]] = []
+
+
+def q_doc_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    txt = F.col("text")
+    d = (
+        d.withColumn("nw", ts.n_words(txt))
+        .withColumn("mwl", ts.mean_word_len(txt))
+        .withColumn("sym", ts.symbol_word_ratio(txt))
+        .withColumn("swf", ts.stopword_frac(txt))
+        .withColumn("dlf", ts.dup_line_frac(txt))
+    )
+    rules = [
+        ("text_blank", ts.is_blank(txt)),
+        ("too_short", F.col("nw") < TH.min_words),
+        ("too_long", F.col("nw") > TH.max_words),
+        ("mean_wl_low", F.col("mwl") < TH.min_mean_word_len),
+        ("mean_wl_high", F.col("mwl") > TH.max_mean_word_len),
+        ("symbol_ratio", F.col("sym") > TH.max_symbol_word_ratio),
+        (
+            "stopword_frac",
+            (F.col("lang") == "en") & (F.col("swf") < TH.min_stopword_frac),
+        ),
+        ("dup_line", F.col("dlf") > TH.max_dup_line_frac),
+        ("lang_declared", F.col("lang").isNull() | (F.col("lang") != "en")),
+    ]
+    tagged = F.array(
+        *[F.when(cond, F.lit(rid)).otherwise(F.lit(None)) for rid, cond in rules]
+    )
+    fired = F.filter(tagged, lambda x: x.isNotNull())
+    return d.select(
+        "doc_id",
+        (F.size(fired) == 0).alias("keep"),
+        F.concat_ws(",", fired).alias("rules_csv"),
+    )
+
+
+ORACLE_DOC_RULES = f"""
+WITH t AS (
+  SELECT doc_id, text, lang, coalesce(text,'') AS txt, {_SQL_WORDS} AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, text, lang,
+    len(w) AS nw,
+    CASE WHEN len(w) > 0
+      THEN list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)
+      ELSE 0.0 END AS mwl,
+    CASE WHEN len(w) > 0
+      THEN len(regexp_extract_all(txt, '{SYMBOL_CLASS}'))::DOUBLE / len(w)
+      ELSE 0.0 END AS sym,
+    CASE WHEN len(w) > 0
+      THEN len(list_filter(w, x -> list_contains({_SQL_STOPS}, lower(x))))::DOUBLE / len(w)
+      ELSE 0.0 END AS swf,
+    CASE WHEN len(list_filter(list_transform(string_split(txt, chr(10)),
+        l -> regexp_replace(regexp_replace(l, '^{WS}+', ''), '{WS}+$', '')),
+        l -> l <> '')) > 0
+      THEN 1.0 - len(list_distinct(list_filter(list_transform(string_split(txt, chr(10)),
+        l -> regexp_replace(regexp_replace(l, '^{WS}+', ''), '{WS}+$', '')),
+        l -> l <> '')))::DOUBLE
+        / len(list_filter(list_transform(string_split(txt, chr(10)),
+        l -> regexp_replace(regexp_replace(l, '^{WS}+', ''), '{WS}+$', '')),
+        l -> l <> ''))
+      ELSE 0.0 END AS dlf,
+    (text IS NULL OR regexp_replace(txt, '{WS}+', '', 'g') = '') AS blank
+  FROM t
+), r AS (
+  SELECT doc_id,
+    list_filter([
+      CASE WHEN blank THEN 'text_blank' END,
+      CASE WHEN nw < {TH.min_words} THEN 'too_short' END,
+      CASE WHEN nw > {TH.max_words} THEN 'too_long' END,
+      CASE WHEN mwl < {TH.min_mean_word_len} THEN 'mean_wl_low' END,
+      CASE WHEN mwl > {TH.max_mean_word_len} THEN 'mean_wl_high' END,
+      CASE WHEN sym > {TH.max_symbol_word_ratio} THEN 'symbol_ratio' END,
+      CASE WHEN lang = 'en' AND swf < {TH.min_stopword_frac} THEN 'stopword_frac' END,
+      CASE WHEN dlf > {TH.max_dup_line_frac} THEN 'dup_line' END,
+      CASE WHEN lang IS NULL OR lang <> 'en' THEN 'lang_declared' END
+    ], x -> x IS NOT NULL) AS fired
+  FROM s
+)
+SELECT doc_id, len(fired) = 0 AS keep,
+  coalesce(array_to_string(fired, ','), '') AS rules_csv
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# language identification — SQL twin of textcore.lang_id for Latin-script
+# corpora plus the three script ranges (SURVEY.md §2.7 target stage)
+# ---------------------------------------------------------------------------
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_assessment_spark.functions.udfs import annotate_udf
+
+    d = _load(spark, sf_dir, "documents")
+    ann = annotate_udf(F.lit(None).cast("binary"), F.col("text"))
+    return d.select("doc_id", ann.lang_pred.alias("lang_pred"))
+
+
+ORACLE_LANGID = f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text,'') AS txt, {_SQL_WORDS} AS w FROM documents
+), c AS (
+  SELECT doc_id, txt, w,
+    len(regexp_extract_all(txt, '[A-Za-z]')) AS latin,
+    len(regexp_extract_all(txt, '[\\x{{0400}}-\\x{{04FF}}]')) AS cyr,
+    len(regexp_extract_all(txt, '[\\x{{4E00}}-\\x{{9FFF}}\\x{{3040}}-\\x{{30FF}}]')) AS cjk,
+    len(regexp_extract_all(txt, '[\\x{{0900}}-\\x{{097F}}]')) AS deva
+  FROM t
+), s AS (
+  SELECT doc_id, w, latin, cyr, cjk, deva,
+    (latin + cyr + cjk + deva) AS letters,
+    CASE
+      WHEN cjk > cyr AND cjk >= deva THEN cjk
+      WHEN deva > cyr AND deva > cjk THEN deva
+      ELSE cyr END AS best_cnt
+  FROM c
+)
+SELECT doc_id,
+  CASE
+    WHEN letters = 0 THEN 'unk'
+    WHEN best_cnt::DOUBLE / letters >= 0.30 THEN
+      CASE
+        WHEN cjk > cyr AND cjk >= deva THEN 'xx_cjk'
+        WHEN deva > cyr AND deva > cjk THEN 'xx_deva'
+        ELSE 'xx_cyr' END
+    WHEN latin::DOUBLE / letters >= 0.50 THEN
+      CASE WHEN least(1.0,
+          0.6 * (CASE WHEN len(w) > 0 THEN
+            len(list_filter(w, x -> list_contains({_SQL_LEXICON}, lower(x))))::DOUBLE / len(w)
+            ELSE 0.0 END)
+          + 1.5 * (CASE WHEN len(w) > 0 THEN
+            len(list_filter(w, x -> list_contains({_SQL_STOPS}, lower(x))))::DOUBLE / len(w)
+            ELSE 0.0 END)
+          + 0.05) >= 0.20
+        THEN 'en' ELSE 'unk' END
+    ELSE 'unk'
+  END AS lang_pred
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family (SURVEY.md §2.3 D1-D3 + near-dup extensions)
+# ---------------------------------------------------------------------------
+
+
+def q_dup_count_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "events")
+    return dedup.dup_count_metric(e, ["user_id", "event_type"])
+
+
+ORACLE_DUP_COUNT = """
+SELECT count(*)::BIGINT AS n_total,
+  (count(*) - count(DISTINCT (user_id, event_type)))::BIGINT AS n_dupes,
+  round(1.0 - (count(*) - count(DISTINCT (user_id, event_type)))::DOUBLE
+        / count(*), 3) AS dupe_score
+FROM events
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "events")
+    kept = dedup.dedup_exact(e, ["user_id", "event_type"], F.col("event_id"))
+    return kept.select("event_id")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT event_id FROM (
+  SELECT event_id, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_entity_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "events")
+    return dedup.entity_dup_counts(e, "user_id", ["user_id", "event_type"])
+
+
+ORACLE_ENTITY_DUP = """
+SELECT user_id, count(*)::BIGINT AS n_pre,
+       count(DISTINCT event_type)::BIGINT AS n_post
+FROM events GROUP BY user_id
+HAVING count(*) <> count(DISTINCT event_type)
+ORDER BY user_id
+"""
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fast=False: md5 hash family, byte-reproducible in the DuckDB oracle
+    # (the production default is the xxhash64 universal-hash family)
+    d = _load(spark, sf_dir, "documents")
+    return dedup.minhash_bands(d, "doc_id", "text", fast=False)
+
+
+def _oracle_minhash_bands() -> str:
+    sig = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        + _SQL_H64.format(x=f"s || '#{i}'")
+        + f")) AS h{i}"
+        for i in range(dedup.N_HASHES)
+    )
+    bands = ", ".join(
+        f"({b}, h{b * dedup.BAND_SIZE}::VARCHAR || ':' || "
+        f"h{b * dedup.BAND_SIZE + 1}::VARCHAR)"
+        for b in range(dedup.N_BANDS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+), sh AS (
+  SELECT doc_id, {_sql_shingles(dedup.SHINGLE_K)} AS sh FROM t
+), sig AS (
+  SELECT doc_id, {sig} FROM sh
+), b AS (
+  SELECT doc_id, unnest([{bands}]) AS bk FROM sig
+)
+SELECT doc_id, bk[1]::INT AS band_idx, bk[2]::VARCHAR AS band_key FROM b
+"""
+
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return dedup.minhash_candidates(d, "doc_id", "text", fast=False)
+
+
+def _oracle_minhash_candidates() -> str:
+    return (
+        "WITH bands AS ("
+        + _oracle_minhash_bands()
+        + """)
+SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+FROM bands a JOIN bands c
+  ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+WHERE a.doc_id < c.doc_id
+"""
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return dedup.with_simhash(d, "doc_id", "text", fast=False)
+
+
+def _oracle_simhash() -> str:
+    bit_terms = " + ".join(
+        f"CASE WHEN coalesce(list_sum(list_transform(h, "
+        f"x -> ((x >> {j}) & 1) * 2 - 1)), 0) > 0 "
+        f"THEN (1::BIGINT << {j}) ELSE 0 END"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+), hh AS (
+  SELECT doc_id,
+    list_transform(w, x -> {_SQL_H64.format(x='x')}) AS h
+  FROM t
+)
+SELECT doc_id, ({bit_terms})::BIGINT AS simhash FROM hh
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", "source")
+
+
+def _oracle_ngram_jaccard() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, {_SQL_WORDS} AS w FROM documents
+), sh AS (
+  SELECT doc_id, source,
+    list_distinct({_sql_shingles(dedup.SHINGLE_K)}) AS sh
+  FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+    THEN len(list_intersect(a.sh, b.sh))::DOUBLE
+         / len(list_distinct(list_concat(a.sh, b.sh)))
+    ELSE 0.0 END, 6) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min 60-bit hash over word
+    2-shingles (text-analysis extension; same hash family as minhash)."""
+    d = _load(spark, sf_dir, "documents")
+    sh = dedup._shingles(F.col("text"), 2)
+    fp = F.array_min(F.transform(sh, lambda s: dedup._h64(s)))
+    return d.select("doc_id", fp.alias("fp"))
+
+
+def _oracle_fingerprint() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+SELECT doc_id,
+  list_min(list_transform({_sql_shingles(2)}, s -> {_SQL_H64.format(x='s')})) AS fp
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# cadence / IAT metrics over events (SURVEY.md §2.5-2.6 W1, A3, A7, A8, A10)
+# ---------------------------------------------------------------------------
+
+_SQL_IAT = """
+SELECT user_id,
+  date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+    / 1000000.0 AS iat
+FROM events
+"""
+
+
+def _events_iat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "events")
+    return cadence.with_iat(e, "user_id", "ts")
+
+
+def q_iat_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _events_iat(spark, sf_dir).filter(F.col("iat").isNotNull())
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_iat"),
+        F.round(F.avg("iat"), 6).alias("avg_iat"),
+        F.round(F.min("iat"), 6).alias("min_iat"),
+        F.round(F.max("iat"), 6).alias("max_iat"),
+    )
+
+
+ORACLE_IAT_USER_STATS = f"""
+WITH i AS ({_SQL_IAT})
+SELECT user_id, count(*)::BIGINT AS n_iat,
+  round(avg(iat), 6) AS avg_iat,
+  round(min(iat), 6) AS min_iat,
+  round(max(iat), 6) AS max_iat
+FROM i WHERE iat IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_iat_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _events_iat(spark, sf_dir).filter(F.col("iat").isNotNull())
+    d = d.select(F.floor("iat").cast("double").alias("iat_s"))
+    return cadence.mode_smallest(d, "iat_s")
+
+
+ORACLE_IAT_MODE = f"""
+WITH i AS ({_SQL_IAT}),
+c AS (
+  SELECT floor(iat)::DOUBLE AS iat_s, count(*) AS cnt FROM i
+  WHERE iat IS NOT NULL GROUP BY 1
+)
+SELECT iat_s AS mode FROM c ORDER BY cnt DESC, iat_s ASC LIMIT 1
+"""
+
+
+def q_iat_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _events_iat(spark, sf_dir).select(
+        "user_id", F.floor("iat").cast("double").alias("iat")
+    )
+    return cadence.regularity_score(d, "iat", ["user_id"])
+
+
+ORACLE_IAT_REG = f"""
+WITH i0 AS ({_SQL_IAT}),
+i AS (SELECT user_id, floor(iat)::DOUBLE AS iat FROM i0 WHERE iat IS NOT NULL),
+c AS (SELECT user_id, iat, count(*) AS cnt FROM i GROUP BY 1, 2),
+m AS (
+  SELECT user_id, iat AS mode FROM (
+    SELECT user_id, iat,
+      row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, iat ASC) rn
+    FROM c) WHERE rn = 1 AND iat <> 0
+),
+r AS (
+  SELECT i.user_id, abs(i.iat - m.mode) / m.mode AS rae
+  FROM i JOIN m ON i.user_id = m.user_id
+)
+SELECT user_id,
+  round(sum(CASE WHEN rae <= 0.5 THEN 1 - 2 * rae ELSE 0.0 END)
+    / (sum(CASE WHEN rae <= 0.5 THEN 1.0 ELSE 0.0 END)
+       + sum(CASE WHEN rae > 0.5 THEN 2 * rae ELSE 0.0 END)), 6) AS reg_score
+FROM r GROUP BY user_id
+"""
+
+
+def q_iat_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _events_iat(spark, sf_dir).select(
+        "user_id", F.floor("iat").cast("double").alias("iat")
+    )
+    return cadence.outlier_score(d, "iat", ["user_id"])
+
+
+ORACLE_IAT_OUT = f"""
+WITH i0 AS ({_SQL_IAT}),
+i AS (SELECT user_id, floor(iat)::DOUBLE AS iat FROM i0 WHERE iat IS NOT NULL),
+c AS (SELECT user_id, iat, count(*) AS cnt FROM i GROUP BY 1, 2),
+m AS (
+  SELECT user_id, iat AS mode FROM (
+    SELECT user_id, iat,
+      row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, iat ASC) rn
+    FROM c) WHERE rn = 1
+),
+d AS (
+  SELECT i.user_id, i.iat, m.mode, abs(i.iat - m.mode) AS absdev
+  FROM i JOIN m ON i.user_id = m.user_id
+),
+md AS (
+  SELECT user_id, quantile_cont(absdev, 0.5) AS mad, any_value(mode) AS mode
+  FROM d GROUP BY user_id
+)
+SELECT i.user_id,
+  round(1 - sum(CASE WHEN md.mad > 0
+      AND 0.6745 * (i.iat - md.mode) / md.mad > 3.5
+      THEN 1.0 ELSE 0.0 END) / count(*), 6) AS out_score
+FROM i JOIN md ON i.user_id = md.user_id
+GROUP BY i.user_id
+"""
+
+
+def q_iat_outage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _events_iat(spark, sf_dir)
+    return cadence.outage_by_entity(d, "user_id")
+
+
+ORACLE_IAT_OUTAGE = f"""
+WITH i AS ({_SQL_IAT}),
+mu AS (SELECT avg(iat) AS mu FROM i WHERE iat IS NOT NULL)
+SELECT user_id, round(sum(iat), 6) AS outage_sec
+FROM i, mu WHERE iat IS NOT NULL AND iat > 2 * mu
+GROUP BY user_id ORDER BY outage_sec DESC, user_id
+"""
+
+
+def q_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "events")
+    f = cadence.iqr_fences(e, "value")
+    return f.select(
+        F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"),
+        F.round("lower", 6).alias("lower"),
+        F.round("upper", 6).alias("upper"),
+    )
+
+
+ORACLE_IQR = """
+WITH q AS (
+  SELECT quantile_cont(value::DOUBLE, 0.25) AS q1,
+         quantile_cont(value::DOUBLE, 0.75) AS q3
+  FROM events
+)
+SELECT round(q1, 6) AS q1, round(q3, 6) AS q3,
+  round(q1 - 1.5 * (q3 - q1), 6) AS lower,
+  round(q3 + 1.5 * (q3 - q1), 6) AS upper
+FROM q
+"""
+
+
+def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "events")
+    return cadence.data_stats(e, "value")
+
+
+ORACLE_VALUE_STATS = """
+SELECT count(*)::BIGINT AS n,
+  round(avg(value), 6) AS mean,
+  round(quantile_cont(value::DOUBLE, 0.5), 6) AS median,
+  round(stddev_samp(value), 6) AS std,
+  round(var_samp(value), 6) AS var,
+  round(min(value), 6) AS min,
+  round(max(value), 6) AS max
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# completeness / format adherence analogs (SURVEY.md §2.6 A13-A14, §2.8 F1/F3)
+# ---------------------------------------------------------------------------
+
+_REQUIRED_DOC_FIELDS = ("text", "lang", "source")
+
+
+def q_doc_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    missing = sum(
+        F.sum(F.col(c).isNull().cast("long")) for c in _REQUIRED_DOC_FIELDS
+    )
+    n = F.count(F.lit(1))
+    return d.agg(
+        n.cast("long").alias("n_total"),
+        missing.cast("long").alias("n_missing"),
+        F.round(
+            F.lit(1.0) - missing / (n * len(_REQUIRED_DOC_FIELDS)), 6
+        ).alias("completeness_score"),
+    )
+
+
+ORACLE_COMPLETENESS = """
+SELECT count(*)::BIGINT AS n_total,
+  (sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+   + sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+   + sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END))::BIGINT AS n_missing,
+  round(1.0 - (sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+   + sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+   + sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END))::DOUBLE
+   / (count(*) * 3), 6) AS completeness_score
+FROM documents
+"""
+
+
+def q_doc_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-adherence analog: declared n_chars must equal length(text)."""
+    d = _load(spark, sf_dir, "documents")
+    err = F.sum(
+        (
+            F.col("text").isNull()
+            | (F.col("n_chars") != F.length("text"))
+        ).cast("long")
+    )
+    n = F.count(F.lit(1))
+    return d.agg(
+        err.cast("long").alias("err_count"),
+        F.round(F.lit(1.0) - err / n, 6).alias("format_score"),
+    )
+
+
+ORACLE_FORMAT = """
+SELECT sum(CASE WHEN text IS NULL OR n_chars <> length(text)
+           THEN 1 ELSE 0 END)::BIGINT AS err_count,
+  round(1.0 - sum(CASE WHEN text IS NULL OR n_chars <> length(text)
+           THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS format_score
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis extensions: token counting, PII email count
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.coalesce("text", F.lit("")), F.lit(TOKEN_RE))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+  len(regexp_extract_all(coalesce(text,''), '{TOKEN_RE}'))::BIGINT AS n_tokens
+FROM documents
+"""
+
+
+def q_pii_email_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.coalesce("text", F.lit("")), F.lit(EMAIL_RE.pattern))
+        .cast("long")
+        .alias("n_email"),
+    )
+
+
+ORACLE_PII_EMAIL = f"""
+SELECT doc_id,
+  len(regexp_extract_all(coalesce(text,''), '{EMAIL_RE.pattern}'))::BIGINT AS n_email
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search: brute-force cosine top-k over embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "embeddings")
+    q = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    a = dbl(F.col("embedding"))
+    b = dbl(F.col("qv"))
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nb = F.aggregate(
+        F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.sqrt(na) * F.sqrt(nb))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", F.round(cos, 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+ORACLE_ANN = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  ORDER BY vec_id LIMIT 1
+),
+s AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(generate_series(1, len(e.embedding)),
+      i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+    (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+     * sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+      i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS c
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+)
+SELECT vec_id, round(c, 4) AS cos FROM s ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search, LSH path (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+_LSH_DIM = 64
+_LSH_PLANES = 8
+
+
+def q_lsh_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_assessment_spark.operators import similarity as sim
+
+    e = _load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        sim.lsh_signature(F.col("embedding"), _LSH_DIM, _LSH_PLANES).alias("sig"),
+    )
+
+
+def _oracle_lsh_signature() -> str:
+    def plane_dot(j: int) -> str:
+        terms = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * "
+            f"((({_SQL_H64.format(x=repr(f'hp:{j}:{i}'))}) % 2001 - 1000) / 1000.0)"
+            for i in range(_LSH_DIM)
+        )
+        return f"({terms})"
+
+    bits = " + ".join(
+        f"CASE WHEN {plane_dot(j)} > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(_LSH_PLANES)
+    )
+    return f"SELECT vec_id, ({bits})::BIGINT AS sig FROM embeddings"
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (bucket join + rerank) — rows-only check; recall
+    vs the exact path is pinned by tests/test_similarity_multimodal.py."""
+    from data_quality_assessment_spark.operators import similarity as sim
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = (
+        e.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    out = sim.lsh_topk(e, q, dim=_LSH_DIM, k=5, n_planes=_LSH_PLANES)
+    return out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing: binary blobs through mapInPandas
+# (functions/multimodal.py; decode stubbed, Spark plumbing real)
+# ---------------------------------------------------------------------------
+
+
+def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build deterministic FAKEIMG1 blobs from documents (width/height
+    derived from doc_id, payload = utf-8 text), push them through the
+    mapInPandas decode path, return the extracted metadata. The oracle
+    computes the same metadata declaratively — an end-to-end check that
+    the binary plumbing round-trips."""
+    from data_quality_assessment_spark.functions import multimodal as mmod
+
+    d = _load(spark, sf_dir, "documents")
+
+    import pandas as pd
+
+    def make_blobs(batches):
+        for b in batches:
+            out_rows = []
+            for did, text in zip(b["doc_id"], b["text"]):
+                w = int(did) % 640 + 1
+                h = int(did) % 480 + 1
+                payload = (text or "").encode("utf-8")
+                out_rows.append(
+                    (did, "image", mmod.encode_fake_image(w, h, payload), "image/fake")
+                )
+            yield pd.DataFrame(
+                out_rows, columns=["media_id", "kind", "blob", "mime"]
+            )
+
+    media = d.select("doc_id", "text").mapInPandas(make_blobs, mmod.MEDIA_SCHEMA)
+    return mmod.image_metadata(media)
+
+
+ORACLE_IMAGE_META = """
+SELECT doc_id AS media_id,
+  (doc_id % 640 + 1)::INT AS width,
+  (doc_id % 480 + 1)::INT AS height,
+  (12 + strlen(coalesce(text, '')))::BIGINT AS n_bytes,
+  true AS valid
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship (UDF stages — rows-only checks, no SQL oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _pages(spark, sf_dir)
+    out = pipeline.run_pipeline(pages, DEFAULT_CONFIG)
+    return out.select(
+        "url",
+        "keep",
+        F.round("quality_score", 6).alias("quality_score"),
+        F.size("rules_fired").alias("n_rules_fired"),
+        "scrubbed_text",
+    )
+
+
+def q_doc_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_assessment_spark.functions.udfs import annotate_udf
+
+    d = _load(spark, sf_dir, "documents")
+    ann = annotate_udf(F.lit(None).cast("binary"), F.col("text"))
+    return d.select("doc_id", F.round(ann.ppl, 6).alias("ppl"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_textstats": q_doc_textstats,
+        "doc_quality_rules": q_doc_quality_rules,
+        "langid": q_langid,
+        "dup_count_metric": q_dup_count_metric,
+        "dedup_exact": q_dedup_exact,
+        "entity_dup_counts": q_entity_dup_counts,
+        "minhash_bands": q_minhash_bands,
+        "minhash_candidates": q_minhash_candidates,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "doc_fingerprint": q_doc_fingerprint,
+        "iat_user_stats": q_iat_user_stats,
+        "iat_mode": q_iat_mode,
+        "iat_regularity": q_iat_regularity,
+        "iat_outliers": q_iat_outliers,
+        "iat_outage": q_iat_outage,
+        "iqr_fences": q_iqr_fences,
+        "value_stats": q_value_stats,
+        "doc_completeness": q_doc_completeness,
+        "doc_format": q_doc_format,
+        "token_count": q_token_count,
+        "pii_email_count": q_pii_email_count,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "lsh_signature": q_lsh_signature,
+        "lsh_topk": q_lsh_topk,
+        "image_metadata": q_image_metadata,
+        "pipeline_verdict": q_pipeline_verdict,
+        "doc_ppl": q_doc_ppl,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_textstats": ORACLE_DOC_TEXTSTATS,
+        "doc_quality_rules": ORACLE_DOC_RULES,
+        "langid": ORACLE_LANGID,
+        "dup_count_metric": ORACLE_DUP_COUNT,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "entity_dup_counts": ORACLE_ENTITY_DUP,
+        "minhash_bands": _oracle_minhash_bands(),
+        "minhash_candidates": _oracle_minhash_candidates(),
+        "simhash": _oracle_simhash(),
+        "ngram_jaccard": _oracle_ngram_jaccard(),
+        "doc_fingerprint": _oracle_fingerprint(),
+        "iat_user_stats": ORACLE_IAT_USER_STATS,
+        "iat_mode": ORACLE_IAT_MODE,
+        "iat_regularity": ORACLE_IAT_REG,
+        "iat_outliers": ORACLE_IAT_OUT,
+        "iat_outage": ORACLE_IAT_OUTAGE,
+        "iqr_fences": ORACLE_IQR,
+        "value_stats": ORACLE_VALUE_STATS,
+        "doc_completeness": ORACLE_COMPLETENESS,
+        "doc_format": ORACLE_FORMAT,
+        "token_count": ORACLE_TOKEN_COUNT,
+        "pii_email_count": ORACLE_PII_EMAIL,
+        "ann_cosine_topk": ORACLE_ANN,
+        "lsh_signature": _oracle_lsh_signature(),
+        "image_metadata": ORACLE_IMAGE_META,
+        # pipeline_verdict / doc_ppl / lsh_topk: UDF or approximate
+        # stages, rows-only check
+    }

@@ -60,18 +60,30 @@ def sample_words(rng: np.random.RandomState, n: int) -> list[str]:
 
 
 def _train_counts() -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized chain simulation: all sentences advance in lockstep.
+
+    Executors pay this at first use (per-Python-worker singleton), so it
+    must be milliseconds, not seconds — a per-word ``rng.choice`` loop
+    here made the whole annotate stage scale-flat (every new worker spent
+    seconds training before its first batch).
+    """
     rng = np.random.RandomState(_SEED + 1)
+    lengths = rng.randint(4, _TRAIN_MAXLEN, size=_TRAIN_SENTENCES)
+    max_len = int(lengths.max())
+    cum_t = np.cumsum(_TRANS, axis=1)
+    states = np.empty((_TRAIN_SENTENCES, max_len), dtype=np.int64)
+    states[:, 0] = rng.randint(0, _V, _TRAIN_SENTENCES)
+    for t in range(1, max_len):
+        u = rng.rand(_TRAIN_SENTENCES)
+        states[:, t] = (cum_t[states[:, t - 1]] > u[:, None]).argmax(axis=1)
+    mask = np.arange(max_len)[None, :] < lengths[:, None]
     uni = np.zeros(_V + 1, dtype=np.int64)
+    np.add.at(uni, states[mask], 1)
+    pair_mask = mask[:, 1:]
+    prev = states[:, :-1][pair_mask]
+    nxt = states[:, 1:][pair_mask]
     bi = np.zeros((_V + 1, _V + 1), dtype=np.int64)
-    for _ in range(_TRAIN_SENTENCES):
-        ws = sample_words(rng, int(rng.randint(4, _TRAIN_MAXLEN)))
-        ids = [_INDEX[w] for w in ws]
-        prev = ids[0]
-        uni[prev] += 1
-        for cur in ids[1:]:
-            uni[cur] += 1
-            bi[prev, cur] += 1
-            prev = cur
+    np.add.at(bi, (prev, nxt), 1)
     return uni, bi
 
 

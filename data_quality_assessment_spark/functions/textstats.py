@@ -2,8 +2,15 @@
 
 Each function returns a ``pyspark.sql.Column`` computing exactly the same
 value as its pure-Python twin (pinned by ``tests/test_textstats_parity.py``).
-These stay inside whole-stage codegen — no Python boundary — which is why
-the heuristic rule stage costs ~nothing at 100 TB.
+
+Implementation note (measured, 60k docs): higher-order array functions
+(``transform``/``filter``/``aggregate``) are CodegenFallback — interpreted,
+with the argument subtree re-evaluated on every reference — so a
+words-array formulation of these stats cost ~8x the whole pipeline's
+Python stage. The counting stats are therefore pure regexp string ops
+(RegExpCount/RegExpReplace ARE whole-stage-codegen); arrays remain only
+where set semantics require them (``dup_line_frac``) and for operators
+that genuinely consume arrays (shingles in operators/dedup.py).
 
 Reference lineage: these are the scale-path rewrites of the reference's
 per-row validation loop (``/root/reference/scripts/metricModules.py:104-149``)
@@ -17,41 +24,60 @@ from pyspark.sql import Column, functions as F
 from .textcore import STOPWORDS, SYMBOL_CLASS, WHITESPACE_CLASS
 
 _WS_SPLIT = WHITESPACE_CLASS + "+"
+# one non-whitespace run == one word (same tokenization as textcore)
+_NON_WS_RUN = WHITESPACE_CLASS.replace("[", "[^", 1) + "+"
 # strip = remove pinned-whitespace runs at either end (same class as Python)
 _STRIP_HEAD = "^" + WHITESPACE_CLASS + "+"
 _STRIP_TAIL = WHITESPACE_CLASS + "+$"
+# a stopword as a standalone token: ws-or-start before, ws-or-end after.
+# Java regex backtracks across the alternation, so shorter stopwords that
+# are prefixes of longer ones (a/an/and) still match correctly.
+_STOP_TOKEN_RE = (
+    f"(?:^|(?<={WHITESPACE_CLASS}))"
+    f"(?:{'|'.join(STOPWORDS)})"
+    f"(?:$|(?={WHITESPACE_CLASS}))"
+)
+
+
+def _txt(text: Column) -> Column:
+    return F.coalesce(text, F.lit(""))
 
 
 def words(text: Column) -> Column:
-    """Array of non-empty whitespace-separated tokens ([] for null text)."""
-    raw = F.split(F.coalesce(text, F.lit("")), _WS_SPLIT)
+    """Array of non-empty whitespace-separated tokens ([] for null text).
+
+    Array form — for operators that need the actual tokens (shingling).
+    The counting stats below deliberately avoid it (see module docstring).
+    """
+    raw = F.split(_txt(text), _WS_SPLIT)
     return F.filter(raw, lambda w: w != F.lit(""))
 
 
 def n_words(text: Column) -> Column:
-    return F.size(words(text)).cast("long")
+    return F.regexp_count(_txt(text), F.lit(_NON_WS_RUN)).cast("long")
 
 
 def mean_word_len(text: Column) -> Column:
-    ws = words(text)
-    total = F.aggregate(ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
-    return F.when(F.size(ws) > 0, total / F.size(ws)).otherwise(F.lit(0.0))
+    """sum(len(word)) / n_words == count of non-ws chars / n_words."""
+    nw = n_words(text)
+    total = F.length(F.regexp_replace(_txt(text), _WS_SPLIT, ""))
+    return F.when(nw > 0, total / nw).otherwise(F.lit(0.0))
 
 
 def symbol_word_ratio(text: Column) -> Column:
-    ws = words(text)
-    syms = F.regexp_count(F.coalesce(text, F.lit("")), F.lit(SYMBOL_CLASS))
-    return F.when(F.size(ws) > 0, syms / F.size(ws)).otherwise(F.lit(0.0))
+    nw = n_words(text)
+    syms = F.regexp_count(_txt(text), F.lit(SYMBOL_CLASS))
+    return F.when(nw > 0, syms / nw).otherwise(F.lit(0.0))
 
 
 def stopword_frac(text: Column) -> Column:
-    ws = words(text)
-    hits = F.size(F.filter(ws, lambda w: F.lower(w).isin(*STOPWORDS)))
-    return F.when(F.size(ws) > 0, hits / F.size(ws)).otherwise(F.lit(0.0))
+    nw = n_words(text)
+    hits = F.regexp_count(F.lower(_txt(text)), F.lit(_STOP_TOKEN_RE))
+    return F.when(nw > 0, hits / nw).otherwise(F.lit(0.0))
 
 
 def lines(text: Column) -> Column:
-    raw = F.split(F.coalesce(text, F.lit("")), F.lit("\n"), -1)
+    raw = F.split(_txt(text), F.lit("\n"), -1)
     stripped = F.transform(
         raw,
         lambda ln: F.regexp_replace(
@@ -61,12 +87,18 @@ def lines(text: Column) -> Column:
     return F.filter(stripped, lambda ln: ln != F.lit(""))
 
 
-def dup_line_frac(text: Column) -> Column:
-    lns = lines(text)
-    n = F.size(lns)
+def dup_line_frac_of(lines_col: Column) -> Column:
+    """1 - distinct/total over a *materialized* lines array column —
+    callers materialize ``lines(text)`` once so the three references here
+    read a computed array instead of re-splitting (HOFs re-evaluate)."""
+    n = F.size(lines_col)
     return F.when(
-        n > 0, F.lit(1.0) - F.size(F.array_distinct(lns)) / n
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(lines_col)) / n
     ).otherwise(F.lit(0.0))
+
+
+def dup_line_frac(text: Column) -> Column:
+    return dup_line_frac_of(lines(text))
 
 
 def is_blank(text: Column) -> Column:

@@ -44,8 +44,11 @@ def with_iat(
         w = Window.orderBy(F.col(entity), *order)
     else:
         w = Window.partitionBy(entity).orderBy(*order)
-    prev = F.lag(F.unix_micros(F.col(ts))).over(w)
-    iat = (F.unix_micros(F.col(ts)) - prev) / F.lit(1_000_000.0)
+    # cast: parquet TIMESTAMP_NTZ -> TIMESTAMP (session tz is pinned UTC,
+    # so the wall-clock micros are unchanged and unix_micros resolves)
+    micros = F.unix_micros(F.col(ts).cast("timestamp"))
+    prev = F.lag(micros).over(w)
+    iat = (micros - prev) / F.lit(1_000_000.0)
     return df.withColumn("iat", F.when(iat >= 0, iat))
 
 
@@ -75,7 +78,10 @@ def regularity_score(
     """A8 as pure columnar aggregation. Returns [group cols,] reg_score."""
     group = group or []
     clean = df.filter(F.col(iat_col).isNotNull())
-    m = mode_smallest(clean, iat_col, group)
+    # groups whose modal IAT is 0 (duplicate timestamps dominate) have no
+    # defined relative error — excluded from the output (ANSI-safe: Spark 4
+    # raises on division by zero rather than returning NULL)
+    m = mode_smallest(clean, iat_col, group).filter(F.col("mode") != 0)
     j = _join_stat(clean, m, group)
     rae = F.abs(F.col(iat_col) - F.col("mode")) / F.col("mode")
     good = F.sum(F.when(rae <= 0.5, 1 - 2 * rae).otherwise(F.lit(0.0)))
@@ -98,7 +104,9 @@ def outlier_score(
         F.median("_absdev").alias("mad"), F.first("mode").alias("mode")
     )
     j2 = _join_stat(clean, mad, group)
-    modz = 0.6745 * (F.col(iat_col) - F.col("mode")) / F.col("mad")
+    # try_divide: NULL (never an ANSI error) when mad == 0; NULL > 3.5 is
+    # false, matching the reference's "no outliers when MAD degenerate"
+    modz = F.try_divide(0.6745 * (F.col(iat_col) - F.col("mode")), F.col("mad"))
     is_out = F.when(
         (F.col("mad") > 0) & (modz > 3.5), F.lit(1.0)
     ).otherwise(F.lit(0.0))

@@ -39,6 +39,26 @@ def _h64(payload: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# fast hash family for the production path: one xxhash64 per shingle +
+# universal hashing (a*h + b mod p) for the remaining minhashes — integer
+# ops only, ~20x cheaper than per-hash md5 string math. p = 2^31-1 keeps
+# a*h < 2^62 so ANSI-mode multiplication cannot overflow.
+# ---------------------------------------------------------------------------
+
+_P31 = (1 << 31) - 1
+
+
+def _uh_params(i: int, tag: str) -> tuple[int, int]:
+    """Deterministic universal-hash coefficients (derived from md5 so they
+    are stable across versions/processes; no RNG state)."""
+    import hashlib
+
+    a = int(hashlib.md5(f"{tag}:a:{i}".encode()).hexdigest()[:8], 16)
+    b = int(hashlib.md5(f"{tag}:b:{i}".encode()).hexdigest()[:8], 16)
+    return (a & 0x7FFFFFFF) | 1, b & 0x7FFFFFFF
+
+
+# ---------------------------------------------------------------------------
 # exact dedup + duplicate metric (reference D1/D2)
 # ---------------------------------------------------------------------------
 
@@ -101,20 +121,86 @@ def _shingles(text: Column, k: int = SHINGLE_K) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", ws)))
 
 
-def minhash_signature(text: Column, n_hashes: int = N_HASHES) -> Column:
-    """Array of n_hashes min-hashes over the shingle set — all codegen."""
+def minhash_signature(
+    text: Column, n_hashes: int = N_HASHES, fast: bool = True
+) -> Column:
+    """Array of n_hashes min-hashes over the shingle set — all codegen.
+
+    fast=True (production): one xxhash64 per shingle, then universal
+    hashing for the n variants. fast=False (parity): md5-based ``_h64``
+    per (shingle, i) — byte-reproducible in DuckDB for the oracle check,
+    ~20x more expensive.
+    """
     sh = _shingles(text)
-    return F.array(*[
-        F.array_min(
-            F.transform(sh, lambda s: _h64(F.concat(s, F.lit(f"#{i}"))))
-        )
+    if not fast:
+        return F.array(*[
+            F.array_min(
+                F.transform(sh, lambda s: _h64(F.concat(s, F.lit(f"#{i}"))))
+            )
+            for i in range(n_hashes)
+        ])
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)))
+
+    def _mk(a: int, b: int):
+        # closure factory: pyspark HOF lambdas must be unary
+        return lambda h: F.pmod(h * a + b, F.lit(_P31))
+
+    mins = []
+    for i in range(n_hashes):
+        a, b = _uh_params(i, "mh")
+        mins.append(F.array_min(F.transform(base, _mk(a, b))))
+    return F.array(*mins)
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = N_HASHES,
+    fast: bool = True,
+) -> DataFrame:
+    """(id, sig: array<long>) — the efficient evaluation shape.
+
+    Higher-order array functions are CodegenFallback in Spark: every
+    *reference* to a HOF subtree re-evaluates it. Materializing the
+    shingle-hash array as a real column between projections makes the
+    n_hashes min-passes read a computed array instead of re-splitting
+    the text n_hashes times (~20x on the fast path, measured).
+    CollapseProject will not inline ``_base`` because it is non-cheap
+    and referenced n_hashes times.
+    """
+    sh = _shingles(F.col(text_col))
+    if fast:
+        base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)))
+
+        def _mk(a: int, b: int):
+            return lambda h: F.pmod(h * a + b, F.lit(_P31))
+
+        d = df.select(F.col(id_col), base.alias("_base"))
+        mins = []
+        for i in range(n_hashes):
+            a, b = _uh_params(i, "mh")
+            mins.append(F.array_min(F.transform(F.col("_base"), _mk(a, b))))
+        return d.select(id_col, F.array(*mins).alias("sig"))
+    # parity (md5) path: per-(shingle, i) hashes — materialize shingles once
+    d = df.select(F.col(id_col), sh.alias("_sh"))
+
+    def _mk_md5(i: int):
+        return lambda s: _h64(F.concat(s, F.lit(f"#{i}")))
+
+    mins = [
+        F.array_min(F.transform(F.col("_sh"), _mk_md5(i)))
         for i in range(n_hashes)
-    ])
+    ]
+    return d.select(id_col, F.array(*mins).alias("sig"))
 
 
-def minhash_bands(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_bands(
+    df: DataFrame, id_col: str, text_col: str, fast: bool = True
+) -> DataFrame:
     """(id, band_idx, band_key) — one row per band per doc."""
-    sig = minhash_signature(F.col(text_col))
+    d = with_minhash_signature(df, id_col, text_col, fast=fast)
+    sig = F.col("sig")
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -124,14 +210,16 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     ])
-    return df.select(F.col(id_col), F.explode(bands).alias("b")).select(
+    return d.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, "b.band_idx", "b.band_key"
     )
 
 
-def minhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, fast: bool = True
+) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) sharing any band."""
-    b = minhash_bands(df, id_col, text_col)
+    b = minhash_bands(df, id_col, text_col, fast=fast)
     a = b.alias("a")
     c = b.alias("c")
     return (
@@ -150,28 +238,64 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+def simhash(text: Column, bits: int = SIMHASH_BITS, fast: bool = True) -> Column:
     """Per-doc SimHash over word hashes (one occurrence = one vote).
 
     One hash per word, then ``bits`` cheap array passes for the bit votes —
-    no explode, no shuffle; stays in codegen.
+    no explode, no shuffle; stays in codegen. fast=False switches to the
+    md5 hash family for the cross-engine oracle check.
     """
-    hashes = F.transform(ts.words(text), lambda w: _h64(w))
-    acc = F.lit(0).cast("long")
-    for j in range(bits):
-        vote = F.aggregate(
+    if fast:
+        hashes = F.transform(ts.words(text), lambda w: F.xxhash64(w))
+    else:
+        hashes = F.transform(ts.words(text), lambda w: _h64(w))
+
+    def _vote(j: int) -> Column:
+        return F.aggregate(
             hashes,
             F.lit(0).cast("long"),
-            lambda a, h, j=j: a + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+            lambda a, h: a + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
         )
-        acc = acc + F.when(vote > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0))
+
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        acc = acc + F.when(_vote(j) > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0))
     return acc
+
+
+def with_simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = SIMHASH_BITS,
+    fast: bool = True,
+) -> DataFrame:
+    """(id, simhash) — materializes the word-hash array once so the
+    ``bits`` vote passes read a computed column (HOFs are CodegenFallback;
+    see with_minhash_signature)."""
+    ws = ts.words(F.col(text_col))
+    hasher = (lambda w: F.xxhash64(w)) if fast else (lambda w: _h64(w))
+    d = df.select(F.col(id_col), F.transform(ws, hasher).alias("_h"))
+
+    def _vote(j: int) -> Column:
+        return F.aggregate(
+            F.col("_h"),
+            F.lit(0).cast("long"),
+            lambda a, h: a + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        acc = acc + F.when(_vote(j) > 0, F.lit(2 ** j).cast("long")).otherwise(
+            F.lit(0)
+        )
+    return d.select(id_col, acc.alias("simhash"))
 
 
 def simhash_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash, chunk_idx, chunk_val) — hamming<=chunks-1 candidates
     share at least one chunk (pigeonhole)."""
-    d = df.select(id_col, simhash(F.col(text_col)).alias("simhash"))
+    d = with_simhash(df, id_col, text_col)
     width = SIMHASH_BITS // SIMHASH_CHUNKS
     chunks = F.array(*[
         F.struct(

@@ -113,7 +113,11 @@ def annotate(df: DataFrame) -> DataFrame:
         .withColumn("mean_wl", ts.mean_word_len(txt))
         .withColumn("symbol_ratio", ts.symbol_word_ratio(txt))
         .withColumn("stopword_frac", ts.stopword_frac(txt))
-        .withColumn("dup_line_frac", ts.dup_line_frac(txt))
+        # lines array materialized once: dup_line_frac references it 3x,
+        # and HOF subtrees re-evaluate per reference (CodegenFallback)
+        .withColumn("_lines", ts.lines(txt))
+        .withColumn("dup_line_frac", ts.dup_line_frac_of(F.col("_lines")))
+        .drop("_lines")
         .withColumn("host", ts.host_of(F.col("url")))
     )
 

@@ -31,6 +31,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # keep post-shuffle parallelism for Python-UDF stages: the default
+        # 1MB floor coalesces small-SF text shuffles below core count,
+        # starving the ArrowEvalPython stage (irrelevant at TB scale, where
+        # partitions are fat; harmless there)
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -45,3 +50,30 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """addPyFile the package zip (the spark-submit ``--py-files``
+    equivalent): executor Python workers otherwise resolve imports from
+    their cwd, which need not be the repo root."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = shutil.make_archive(
+        os.path.join(tempfile.gettempdir(), "dq_spark_pkg"),
+        "zip",
+        os.path.dirname(pkg_dir),
+        os.path.basename(pkg_dir),
+    )
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 — already registered in this context
+        pass
+    _SHIPPED.add(key)

@@ -16,8 +16,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# script-mode sys.path[0] is jobs/, not the repo root; under a real
+# spark-submit deployment --py-files dq.zip supersedes this
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def map_documents_to_pages(df):
@@ -50,6 +55,10 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = PipelineConfig.from_json(args.config) if args.config else DEFAULT_CONFIG
     spark = get_spark(app_name="dq-run-pipeline", master=args.master)
+    # ship the package to executor Python workers (cwd-independent)
+    from data_quality_assessment_spark.session import ship_package
+
+    ship_package(spark)
     t0 = time.time()
     df = spark.read.parquet(args.input)
     if "doc_id" in df.columns and "url" not in df.columns:

@@ -1,0 +1,108 @@
+"""Dedup-family operator tests: exact dedup determinism, MinHash-LSH
+near-dup recall (fast xxhash64 family), SimHash locality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_assessment_spark.functions.lm import sample_words
+from data_quality_assessment_spark.operators import dedup
+
+
+def _doc(rng, n=80):
+    return " ".join(sample_words(rng, n))
+
+
+def _mutate(rng, text, n_edits=4):
+    ws = text.split(" ")
+    for _ in range(n_edits):
+        i = int(rng.randint(len(ws)))
+        ws[i] = "edited%d" % int(rng.randint(100))
+    return " ".join(ws)
+
+
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark):
+    """60 distinct docs; docs 100+i are light mutations of doc i for i<10."""
+    rng = np.random.RandomState(5)
+    rows = [(i, _doc(rng)) for i in range(60)]
+    rows += [(100 + i, _mutate(rng, rows[i][1])) for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_fast_finds_planted_near_dups(spark, near_dup_corpus):
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidates(
+            near_dup_corpus, "doc_id", "text", fast=True
+        ).collect()
+    }
+    planted = {(i, 100 + i) for i in range(10)}
+    found = planted & got
+    assert len(found) >= 8, f"minhash recall too low: {sorted(found)}"
+    # precision: few spurious pairs among the 60 distinct docs
+    spurious = {p for p in got if p[1] < 100}
+    assert len(spurious) <= 5, f"too many spurious candidates: {spurious}"
+
+
+def test_minhash_fast_vs_md5_similar_candidates(spark, near_dup_corpus):
+    """Both hash families implement the same LSH geometry — planted pairs
+    should be found by both (they are different random bases, so exact
+    candidate sets may differ on borderline pairs)."""
+    fast = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidates(
+            near_dup_corpus, "doc_id", "text", fast=True
+        ).collect()
+    }
+    slow = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_candidates(
+            near_dup_corpus, "doc_id", "text", fast=False
+        ).collect()
+    }
+    planted = {(i, 100 + i) for i in range(10)}
+    assert len(planted & fast) >= 8
+    assert len(planted & slow) >= 8
+
+
+def test_simhash_locality(spark, near_dup_corpus):
+    sh = {
+        r.doc_id: r.simhash
+        for r in dedup.with_simhash(
+            near_dup_corpus, "doc_id", "text", fast=True
+        ).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFF).count("1")
+
+    near = [ham(sh[i], sh[100 + i]) for i in range(10)]
+    rng = np.random.RandomState(0)
+    far = [
+        ham(sh[int(a)], sh[int(b)])
+        for a, b in rng.randint(0, 60, (30, 2)) if a != b
+    ]
+    assert np.mean(near) < np.mean(far) - 4, (np.mean(near), np.mean(far))
+
+
+def test_dedup_exact_permutation_invariant(spark):
+    rows = [(f"u{i % 7}", i % 3, f"payload{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "k1 string, k2 int, v string")
+    a = dedup.dedup_exact(df, ["k1", "k2"], F.col("v"))
+    b = dedup.dedup_exact(
+        df.orderBy(F.desc("v")).repartition(7), ["k1", "k2"], F.col("v")
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_dup_count_metric_values(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 1), ("b", 1)],
+        "k string, t int",
+    )
+    row = dedup.dup_count_metric(df, ["k", "t"]).collect()[0]
+    assert (row.n_total, row.n_dupes) == (6, 3)
+    assert row.dupe_score == 0.5

@@ -1,0 +1,82 @@
+"""Resume semantics (SURVEY.md §5.2.5): pre-seeded checkpoint partitions
+are not recomputed; resumed output equals a cold run."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_quality_assessment_spark.config import DEFAULT_CONFIG
+from data_quality_assessment_spark.plans import resumable
+from data_quality_assessment_spark.sources.fixture_gen import gen_pages
+from data_quality_assessment_spark.sources.warehouse import Warehouse
+
+N_PARTS = 8
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    pdf = gen_pages(400, seed=11)
+    return spark.createDataFrame(pdf)
+
+
+def _sorted_rows(df):
+    return sorted(
+        tuple(r) for r in df.select("url", "warc_ts", "keep", "scrubbed_text")
+        .collect()
+    )
+
+
+def test_cold_run_writes_all_tables(spark, tmp_path, pages):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    res = resumable.run_resumable(spark, pages, wh, num_parts=N_PARTS)
+    assert res["parts_done_prior"] == 0
+    out = wh.read(resumable.PAGES_OUT)
+    assert out.count() > 0
+    assert set(r.part_id for r in wh.read(resumable.CHECKPOINT).collect()) \
+        == set(r.part_id for r in out.select("part_id").distinct().collect())
+    lin = wh.read(resumable.LINEAGE)
+    assert {"part_id", "rule_id", "n_fired"} <= set(lin.columns)
+    met = wh.read(resumable.METRICS)
+    assert met.count() == out.select("part_id").distinct().count()
+    # metrics consistency: sum over partitions == total rows
+    assert met.agg(F.sum("n_docs")).collect()[0][0] == out.count()
+
+
+def test_resume_skips_completed_and_matches_cold(spark, tmp_path, pages):
+    cold_wh = Warehouse(spark, str(tmp_path / "cold"))
+    resumable.run_resumable(spark, pages, cold_wh, num_parts=N_PARTS)
+    cold = _sorted_rows(cold_wh.read(resumable.PAGES_OUT))
+
+    # interrupted run: only partitions {0,1,2} completed
+    warm_wh = Warehouse(spark, str(tmp_path / "warm"))
+    keyed = resumable.with_part_id(pages, N_PARTS)
+    first = keyed.filter(F.col("part_id") < 3)
+    out1 = resumable.run_resumable(
+        spark, first.drop("part_id"), warm_wh, num_parts=N_PARTS
+    )
+    assert out1["parts_done_prior"] == 0
+    done1 = {r.part_id for r in warm_wh.read(resumable.CHECKPOINT).collect()}
+    assert done1 == {0, 1, 2}
+
+    # resume with the FULL input: completed partitions must be skipped
+    res = resumable.run_resumable(spark, pages, warm_wh, num_parts=N_PARTS)
+    assert res["parts_done_prior"] == 3
+    # no completed partition recomputed: lineage rows for parts 0-2 appear
+    # exactly once per rule (appended once)
+    lin = warm_wh.read(resumable.LINEAGE).filter(F.col("part_id") < 3)
+    dupes = (
+        lin.groupBy("part_id", "rule_id").count().filter("count > 1").count()
+    )
+    assert dupes == 0
+    # final output identical to the cold run
+    assert _sorted_rows(warm_wh.read(resumable.PAGES_OUT)) == cold
+
+
+def test_rerun_is_idempotent(spark, tmp_path, pages):
+    wh = Warehouse(spark, str(tmp_path / "wh2"))
+    resumable.run_resumable(spark, pages, wh, num_parts=N_PARTS)
+    first = _sorted_rows(wh.read(resumable.PAGES_OUT))
+    res = resumable.run_resumable(spark, pages, wh, num_parts=N_PARTS)
+    assert res["parts_run"] == 0
+    assert _sorted_rows(wh.read(resumable.PAGES_OUT)) == first
