@@ -151,8 +151,6 @@ FROM t
 # heuristic rule engine, SQL-expressible subset (SURVEY.md §2.7 V1→rules)
 # ---------------------------------------------------------------------------
 
-_DOC_RULES_SPARK: list[tuple[str, Callable[[], F.Column]]] = []
-
 
 def q_doc_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
@@ -782,6 +780,87 @@ SELECT vec_id, round(c, 4) AS cos FROM s ORDER BY c DESC, vec_id LIMIT 10
 """
 
 
+def q_cadence_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 grouped-map applyInPandas path — same semantics as the columnar
+    reg/outlier scores (oracle identical shape)."""
+    d = _events_iat(spark, sf_dir).select(
+        "user_id", F.floor("iat").cast("double").alias("iat")
+    )
+    return cadence.cadence_stats_pandas(d, "user_id").select(
+        "user_id", "n", "mode", F.round("mad", 6).alias("mad"),
+        "reg_score", "out_score",
+    )
+
+
+ORACLE_CADENCE_PANDAS = f"""
+WITH i0 AS ({_SQL_IAT}),
+i AS (SELECT user_id, floor(iat)::DOUBLE AS iat FROM i0 WHERE iat IS NOT NULL),
+c AS (SELECT user_id, iat, count(*) AS cnt FROM i GROUP BY 1, 2),
+m AS (
+  SELECT user_id, iat AS mode FROM (
+    SELECT user_id, iat,
+      row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, iat ASC) rn
+    FROM c) WHERE rn = 1
+),
+d AS (
+  SELECT i.user_id, i.iat, m.mode, abs(i.iat - m.mode) AS absdev
+  FROM i JOIN m ON i.user_id = m.user_id
+),
+md AS (
+  SELECT user_id, count(*) AS n, any_value(mode) AS mode,
+         quantile_cont(absdev, 0.5) AS mad
+  FROM d GROUP BY user_id
+),
+reg AS (
+  SELECT d.user_id,
+    CASE WHEN any_value(d.mode) <> 0 THEN
+      round(sum(CASE WHEN absdev / mode <= 0.5 THEN 1 - 2 * absdev / mode
+                ELSE 0.0 END)
+        / (sum(CASE WHEN absdev / mode <= 0.5 THEN 1.0 ELSE 0.0 END)
+           + sum(CASE WHEN absdev / mode > 0.5 THEN 2 * absdev / mode
+                 ELSE 0.0 END)), 6)
+    END AS reg_score
+  FROM d GROUP BY d.user_id
+),
+outl AS (
+  SELECT d.user_id,
+    CASE WHEN any_value(md.mad) > 0 THEN
+      round(1 - sum(CASE WHEN 0.6745 * (d.iat - d.mode) / md.mad > 3.5
+                    THEN 1.0 ELSE 0.0 END) / count(*), 6)
+    ELSE 1.0 END AS out_score
+  FROM d JOIN md ON d.user_id = md.user_id GROUP BY d.user_id
+)
+SELECT md.user_id, md.n::BIGINT AS n, md.mode, round(md.mad, 6) AS mad,
+       reg.reg_score, outl.out_score
+FROM md JOIN reg ON md.user_id = reg.user_id
+JOIN outl ON md.user_id = outl.user_id
+"""
+
+
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_quality_assessment_spark.operators import similarity as sim
+
+    e = _load(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs(e, "vec_id", "embedding", "label", 0.25)
+
+
+ORACLE_COSINE_NEAR_DUP = """
+WITH s AS (
+  SELECT label, vec_id, embedding,
+    sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS n
+  FROM embeddings
+)
+SELECT id_a, id_b, cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (a.n * b.n), 6) AS cos
+  FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cos >= 0.25
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search, LSH path (operators/similarity.py)
 # ---------------------------------------------------------------------------
@@ -925,6 +1004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iat_regularity": q_iat_regularity,
         "iat_outliers": q_iat_outliers,
         "iat_outage": q_iat_outage,
+        "cadence_pandas": q_cadence_pandas,
+        "cosine_near_dup": q_cosine_near_dup,
         "iqr_fences": q_iqr_fences,
         "value_stats": q_value_stats,
         "doc_completeness": q_doc_completeness,
@@ -958,6 +1039,8 @@ def oracle_sql() -> dict[str, str]:
         "iat_regularity": ORACLE_IAT_REG,
         "iat_outliers": ORACLE_IAT_OUT,
         "iat_outage": ORACLE_IAT_OUTAGE,
+        "cadence_pandas": ORACLE_CADENCE_PANDAS,
+        "cosine_near_dup": ORACLE_COSINE_NEAR_DUP,
         "iqr_fences": ORACLE_IQR,
         "value_stats": ORACLE_VALUE_STATS,
         "doc_completeness": ORACLE_COMPLETENESS,

@@ -59,6 +59,29 @@ def sample_words(rng: np.random.RandomState, n: int) -> list[str]:
     return out
 
 
+def sample_lines_batch(
+    rng: np.random.RandomState, lengths: np.ndarray, chunk: int = 50_000
+) -> list[str]:
+    """Vectorized twin of ``sample_words``: one Markov line per entry of
+    ``lengths``, all chains advanced in lockstep (chunked). Used by the
+    bench corpus generator — the per-word ``rng.choice`` path costs
+    ~3ms/line, this ~3µs/line."""
+    cum_t = np.cumsum(_TRANS, axis=1)
+    out: list[str] = []
+    for lo in range(0, len(lengths), chunk):
+        ls = lengths[lo:lo + chunk]
+        m = len(ls)
+        max_len = int(ls.max())
+        states = np.empty((m, max_len), dtype=np.int64)
+        states[:, 0] = rng.randint(0, _V, m)
+        for t in range(1, max_len):
+            u = rng.rand(m)
+            states[:, t] = (cum_t[states[:, t - 1]] > u[:, None]).argmax(axis=1)
+        for row, ln in zip(states, ls):
+            out.append(" ".join(VOCAB[i] for i in row[:ln]))
+    return out
+
+
 def _train_counts() -> tuple[np.ndarray, np.ndarray]:
     """Vectorized chain simulation: all sentences advance in lockstep.
 

@@ -115,6 +115,58 @@ def outlier_score(
     )
 
 
+def cadence_stats_pandas(
+    df: DataFrame, entity: str, iat_col: str = "iat"
+) -> DataFrame:
+    """W2 (grouped-map applyInPandas): per-entity mode / MAD / regularity
+    in one pandas pass — the template for per-group Python
+    (``/root/reference/scripts/metricModules.py:41-44``, SURVEY.md §2.5).
+
+    Semantically identical to the columnar ``regularity_score`` +
+    ``outlier_score`` pair (pinned by tests); use the columnar path at
+    scale (two small shuffles, no Python), this one where per-group
+    logic outgrows SQL. Groups with modal IAT 0 are emitted with null
+    scores (the columnar path drops them)."""
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[iat_col].dropna()
+        ent = pdf[entity].iloc[0]
+        if len(x) == 0:
+            return pd.DataFrame(
+                [[ent, 0, None, None, None, None]],
+                columns=[entity, "n", "mode", "mad", "reg_score", "out_score"],
+            )
+        counts = x.value_counts()
+        top = counts.max()
+        mode = min(counts[counts == top].index)  # ties -> smallest (Q3)
+        absdev = (x - mode).abs()
+        mad = absdev.median()
+        if mode != 0:
+            rae = absdev / mode
+            good = (1 - 2 * rae[rae <= 0.5]).sum()
+            cnt = (rae <= 0.5).sum()
+            bad = (2 * rae[rae > 0.5]).sum()
+            reg = round(good / (cnt + bad), 6) if (cnt + bad) > 0 else None
+        else:
+            reg = None
+        if mad > 0:
+            modz = 0.6745 * (x - mode) / mad
+            out = round(1 - float((modz > 3.5).sum()) / len(x), 6)
+        else:
+            out = 1.0
+        return pd.DataFrame(
+            [[ent, len(x), float(mode), float(mad), reg, out]],
+            columns=[entity, "n", "mode", "mad", "reg_score", "out_score"],
+        )
+
+    schema = (
+        f"{entity} long, n long, mode double, mad double, "
+        "reg_score double, out_score double"
+    )
+    return df.groupBy(entity).applyInPandas(fn, schema)
+
+
 def outage_by_entity(df: DataFrame, entity: str, iat_col: str = "iat") -> DataFrame:
     """A10 (``scripts/PreProcessing.py:374-382``): IAT > 2*global-mean is an
     'outage'; sum outage seconds per entity, descending."""

@@ -76,6 +76,37 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup: (id_a, id_b, cos) for pairs within a
+    block with cosine >= threshold. Blocking (a cluster id, an LSH
+    bucket, a host) keeps the self-join linear-ish — an unblocked
+    pairwise pass at 10^12 rows is intentionally impossible; compose
+    with lsh_signature for the open-domain case."""
+    side = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col),
+        _to_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("_n", _norm(F.col("_v")))
+    a, b = side.alias("a"), side.alias("b")
+    cos = _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+    return (
+        a.join(b, F.col("a._blk") == F.col("b._blk"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def hyperplane(j: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane j as an array Column."""
     return F.array(*[

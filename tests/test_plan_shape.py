@@ -1,0 +1,62 @@
+"""Physical-plan regression tests: the flagship plan must keep the shape
+SURVEY.md §4 promises — one shuffle (dedup), two Python boundaries, scans
+pruned to the columns actually used."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_quality_assessment_spark.config import DEFAULT_CONFIG
+from data_quality_assessment_spark.plans import pipeline as P
+from data_quality_assessment_spark.sources.fixture_gen import gen_pages
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plan") / "pages.parquet")
+    spark.createDataFrame(gen_pages(300, seed=21)).write.parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_one_shuffle_two_python_boundaries(spark, pages_path):
+    df = spark.read.parquet(pages_path)
+    out = P.pages_out(P.run_pipeline(df, DEFAULT_CONFIG))
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1, plan  # dedup window only
+    assert plan.count("ArrowEvalPython") == 2, plan  # annotate + scrub
+    # dedup pre-prunes hot groups map-side before the shuffle
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark, pages_path):
+    df = spark.read.parquet(pages_path)
+    narrow = df.select("url")
+    plan = _plan(narrow)
+    assert "ReadSchema: struct<url:string>" in plan, plan
+
+
+def test_filter_pushdown_reaches_scan(spark, pages_path):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(pages_path).filter(F.col("lang") == "en")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+
+
+def test_host_stats_join_is_broadcast(spark, pages_path):
+    """Per-host stats joined back to rows must broadcast the stats side
+    (SURVEY.md §2.11 join #2)."""
+    from data_quality_assessment_spark.operators import cadence
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(pages_path).withColumn(
+        "host", F.substring_index(F.substring_index("url", "://", -1), "/", 1)
+    )
+    iat = cadence.with_iat(df, "host", "warc_ts")
+    score = cadence.regularity_score(iat, "iat", ["host"])
+    plan = _plan(score)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan

@@ -1,0 +1,73 @@
+"""Skew utilities + grouped-map vs columnar cadence consistency."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_assessment_spark.operators import cadence, skew
+
+
+def test_salted_distinct_count_exact(spark):
+    rows = [(k, v % (10 if k == "hot" else 3))
+            for k in ["hot"] * 500 + ["a"] * 20 + ["b"] * 7
+            for v in [hash(k) % 97]]
+    # construct: hot key with many rows, few distincts; plus small keys
+    rows = [("hot", i % 13) for i in range(500)]
+    rows += [("a", i % 4) for i in range(20)]
+    rows += [("b", 1) for _ in range(7)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = {
+        r.k: r.n_distinct
+        for r in skew.salted_distinct_count(df, "k", "v", buckets=8).collect()
+    }
+    assert got == {"hot": 13, "a": 4, "b": 1}
+
+
+def test_hot_keys(spark):
+    rows = [("hot", 1)] * 100 + [("cold", 1)] * 5
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = [r.k for r in skew.hot_keys(df, "k", 50).collect()]
+    assert got == ["hot"]
+
+
+def test_salted_repartition_preserves_rows(spark):
+    df = spark.range(1000).withColumn("k", F.lit("hot"))
+    out = skew.salted_repartition(df, "k", 16, buckets=8)
+    assert out.count() == 1000
+    # rows actually spread: no single partition holds everything
+    sizes = out.withColumn("p", F.spark_partition_id()) \
+        .groupBy("p").count().collect()
+    assert max(r["count"] for r in sizes) < 1000
+
+
+def test_cadence_pandas_matches_columnar(spark):
+    """W2 grouped-map path and the pure-columnar path agree on
+    regularity and outlier scores (where both are defined)."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for e in range(12):
+        t = 0.0
+        for _ in range(60):
+            t += float(rng.choice([30.0, 30.0, 30.0, 31.0, 600.0],
+                                  p=[0.5, 0.2, 0.2, 0.05, 0.05]))
+            rows.append((e, t))
+    df = spark.createDataFrame(rows, "user_id long, iat double")
+    # treat 'iat' directly (already a lag-diff in this fixture)
+    pd_scores = {
+        r.user_id: (r.reg_score, r.out_score)
+        for r in cadence.cadence_stats_pandas(df, "user_id").collect()
+    }
+    col_reg = {
+        r.user_id: r.reg_score
+        for r in cadence.regularity_score(df, "iat", ["user_id"]).collect()
+    }
+    col_out = {
+        r.user_id: r.out_score
+        for r in cadence.outlier_score(df, "iat", ["user_id"]).collect()
+    }
+    for e in range(12):
+        assert pd_scores[e][0] == pytest.approx(col_reg[e], abs=1e-6), e
+        assert pd_scores[e][1] == pytest.approx(col_out[e], abs=1e-6), e

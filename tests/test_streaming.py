@@ -1,0 +1,95 @@
+"""Structured Streaming: incremental processing matches batch, dedup
+state works, windowed host counts are correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_assessment_spark.config import DEFAULT_CONFIG
+from data_quality_assessment_spark.plans import pipeline as batch
+from data_quality_assessment_spark.sources.fixture_gen import gen_pages
+from data_quality_assessment_spark.streaming import quality_stream as qs
+
+
+@pytest.fixture(scope="module")
+def pages_pdf():
+    return gen_pages(300, seed=31)
+
+
+def test_stream_matches_batch(spark, tmp_path, pages_pdf):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    sdf = spark.createDataFrame(pages_pdf)
+    # file-source streams can't order rows -> drop exact dup conflicts by
+    # pre-deduping the comparison on keys only
+    sdf.write.parquet(inp)
+
+    qs.run_stream_once(spark, inp, out, ck, DEFAULT_CONFIG)
+    got = spark.read.parquet(out)
+
+    expect = batch.pages_out(batch.run_pipeline(sdf, DEFAULT_CONFIG))
+    assert got.count() == expect.count()
+    # keep verdicts agree per (url, warc_ts) wherever the winning payload
+    # is unambiguous (non-conflicting rows)
+    g = {(r.url, r.warc_ts): r.keep for r in got.collect()}
+    e = {(r.url, r.warc_ts): r.keep for r in expect.collect()}
+    same = sum(1 for k in e if g.get(k) == e[k])
+    assert same / len(e) > 0.98  # conflicting-payload dups may flip keep
+
+
+def test_stream_incremental_resume(spark, tmp_path, pages_pdf):
+    """Second run with the same checkpoint processes only new files."""
+    inp = str(tmp_path / "in2")
+    out = str(tmp_path / "out2")
+    ck = str(tmp_path / "ck2")
+    sdf = spark.createDataFrame(pages_pdf)
+    # split by event time: streams arrive roughly in event-time order, and
+    # rows older than run 1's watermark would (correctly) be dropped as late
+    med = sdf.agg(F.median(F.unix_micros(F.col("warc_ts")))).collect()[0][0]
+    ts_us = F.unix_micros(F.col("warc_ts"))
+    first = sdf.filter(F.col("warc_ts").isNull() | (ts_us <= med))
+    second = sdf.filter(F.col("warc_ts").isNotNull() & (ts_us > med))
+    first.write.parquet(inp)
+    qs.run_stream_once(spark, inp, out, ck, DEFAULT_CONFIG)
+    n1 = spark.read.parquet(out).count()
+
+    second.write.mode("append").parquet(inp)
+    qs.run_stream_once(spark, inp, out, ck, DEFAULT_CONFIG)
+    n2 = spark.read.parquet(out).count()
+    assert n1 > 0 and n2 > n1
+    # no reprocessing: output distinct urls == input distinct urls (per ts)
+    assert n2 == spark.read.parquet(inp).dropDuplicates(
+        ["url", "warc_ts"]).count()
+
+
+def test_host_window_counts(spark, tmp_path, pages_pdf):
+    inp = str(tmp_path / "in3")
+    spark.createDataFrame(pages_pdf).write.parquet(inp)
+    stream = qs.read_pages_stream(spark, inp)
+    agg = qs.host_window_counts(stream, window="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("host_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "select sum(n_pages) as n from host_counts"
+    ).collect()[0].n
+    # append mode only emits windows older than the watermark; with a
+    # bounded fixture the final windows stay open, so emitted <= total
+    total = spark.read.parquet(inp).filter("warc_ts is not null").count()
+    assert got is None or got <= total
+    # complete-mode twin gives the exact total
+    q2 = (
+        qs.host_window_counts(stream).writeStream.format("memory")
+        .queryName("host_counts_c").outputMode("complete")
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    got2 = spark.sql("select sum(n_pages) as n from host_counts_c").collect()[0].n
+    assert got2 == total
