@@ -861,6 +861,85 @@ SELECT id_a, id_b, cos FROM (
 """
 
 
+def q_six_metric_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship artifact (six scores + avg) over events:
+    entity=user_id, required={user_id, ts, event_type, value}, props
+    treated as an undeclared attribute (plans/report.py, quirks Q1-Q9)."""
+    from data_quality_assessment_spark.plans import report
+
+    e = _load(spark, sf_dir, "events")
+    return report.six_metric_report(
+        e,
+        entity="user_id",
+        ts="ts",
+        required=["user_id", "ts", "event_type", "value"],
+        known=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+
+ORACLE_SIX_METRICS = """
+WITH dupe AS (
+  SELECT round(1.0 - (sum(c) - count(*))::DOUBLE / sum(c), 3) AS dupe
+  FROM (SELECT count(*) AS c FROM events GROUP BY user_id, ts)
+),
+dd AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id) AS rn
+    FROM events) WHERE rn = 1
+),
+iat AS (
+  SELECT date_diff('microsecond',
+                   lag(ts) OVER (ORDER BY user_id, ts), ts) / 1000000.0 AS v
+  FROM dd
+),
+clean AS (SELECT v FROM iat WHERE v IS NOT NULL AND v >= 0),
+m AS (
+  SELECT v AS mode FROM (
+    SELECT v, count(*) AS c FROM clean GROUP BY v
+    ORDER BY c DESC, v ASC LIMIT 1)
+),
+reg AS (
+  SELECT round(
+    sum(CASE WHEN abs(v - mode) / mode <= 0.5
+        THEN 1 - 2 * abs(v - mode) / mode ELSE 0.0 END)
+    / (sum(CASE WHEN abs(v - mode) / mode <= 0.5 THEN 1.0 ELSE 0.0 END)
+       + sum(CASE WHEN abs(v - mode) / mode > 0.5
+             THEN 2 * abs(v - mode) / mode ELSE 0.0 END)), 3) AS regularity
+  FROM clean, m
+),
+md AS (
+  SELECT any_value(mode) AS mode, quantile_cont(abs(v - mode), 0.5) AS mad
+  FROM clean, m
+),
+outl AS (
+  SELECT round(1 - sum(CASE WHEN md.mad > 0
+        AND 0.6745 * (c.v - md.mode) / md.mad > 3.5
+        THEN 1.0 ELSE 0.0 END) / count(*), 3) AS outliers
+  FROM clean c, md
+),
+sch AS (
+  SELECT
+    round(1 - sum(CASE WHEN user_id IS NULL OR ts IS NULL
+          OR event_type IS NULL OR value IS NULL
+          THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS format_adherence,
+    round(1 - sum(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+          / count(*), 4) AS unknown_absence,
+    round(1 - (sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+             + sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+             + sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+             + sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END))::DOUBLE
+          / (count(*) * 4), 6) AS completeness
+  FROM events
+)
+SELECT dupe.dupe, reg.regularity, outl.outliers, sch.format_adherence,
+  sch.unknown_absence, sch.completeness,
+  round((dupe.dupe + reg.regularity + outl.outliers + sch.format_adherence
+         + sch.unknown_absence + sch.completeness) / 6, 3) AS avg_score
+FROM dupe, reg, outl, sch
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search, LSH path (operators/similarity.py)
 # ---------------------------------------------------------------------------
@@ -1006,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iat_outage": q_iat_outage,
         "cadence_pandas": q_cadence_pandas,
         "cosine_near_dup": q_cosine_near_dup,
+        "six_metric_report": q_six_metric_report,
         "iqr_fences": q_iqr_fences,
         "value_stats": q_value_stats,
         "doc_completeness": q_doc_completeness,
@@ -1041,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
         "iat_outage": ORACLE_IAT_OUTAGE,
         "cadence_pandas": ORACLE_CADENCE_PANDAS,
         "cosine_near_dup": ORACLE_COSINE_NEAR_DUP,
+        "six_metric_report": ORACLE_SIX_METRICS,
         "iqr_fences": ORACLE_IQR,
         "value_stats": ORACLE_VALUE_STATS,
         "doc_completeness": ORACLE_COMPLETENESS,
