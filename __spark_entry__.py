@@ -44,7 +44,7 @@ from data_quality_assessment_spark.plans import pipeline
 # ---------------------------------------------------------------------------
 
 WS = WHITESPACE_CLASS  # r"[ \t\n\r\f\x0B]"
-TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]"
+TOKEN_RE = ts.TOKEN_RE
 TH = DEFAULT_CONFIG.thresholds
 
 _SQL_WORDS = (
@@ -695,12 +695,7 @@ FROM documents
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.regexp_count(F.coalesce("text", F.lit("")), F.lit(TOKEN_RE))
-        .cast("long")
-        .alias("n_tokens"),
-    )
+    return d.select("doc_id", ts.n_tokens(F.col("text")).alias("n_tokens"))
 
 
 ORACLE_TOKEN_COUNT = f"""

@@ -101,6 +101,16 @@ def dup_line_frac(text: Column) -> Column:
     return dup_line_frac_of(lines(text))
 
 
+# BPE-ish token classes: letter runs, digit runs, single non-alnum marks —
+# the standard pre-tokenization shape (ASCII-safe across regex engines)
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0B]"
+
+
+def n_tokens(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer (text analysis op)."""
+    return F.regexp_count(_txt(text), F.lit(TOKEN_RE)).cast("long")
+
+
 def is_blank(text: Column) -> Column:
     """Null, empty, or whitespace-only."""
     return text.isNull() | (

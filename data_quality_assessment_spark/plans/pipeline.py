@@ -156,6 +156,29 @@ def run_pipeline(
     return verdict(scrub(annotate(df)), cfg)
 
 
+def host_cadence(pages: DataFrame) -> DataFrame:
+    """Per-host crawl-cadence stats over warc_ts (north_star: the
+    reference's IAT regularity/outlier math per url-host group).
+
+    Returns one row per host: n_pages, reg_score, out_score. Hosts whose
+    modal IAT is 0 (same-second bursts) are excluded by regularity (no
+    defined relative error) but still scored for outliers.
+    """
+    from ..functions import textstats as ts
+    from ..operators import cadence
+
+    d = pages.select(
+        ts.host_of(F.col("url")).alias("host"), F.col("warc_ts")
+    ).filter(F.col("warc_ts").isNotNull())
+    iat = cadence.with_iat(d, "host", "warc_ts")
+    n = d.groupBy("host").agg(F.count(F.lit(1)).alias("n_pages"))
+    reg = cadence.regularity_score(iat, "iat", ["host"])
+    out = cadence.outlier_score(iat, "iat", ["host"])
+    return (
+        n.join(reg, "host", "left").join(out, "host", "left")
+    )
+
+
 OUTPUT_COLUMNS = [
     "url", "warc_ts", "host", "lang", "lang_pred", "lang_conf", "ppl",
     "nw", "mean_wl", "symbol_ratio", "stopword_frac", "dup_line_frac",

@@ -41,6 +41,23 @@ def test_salted_repartition_preserves_rows(spark):
     assert max(r["count"] for r in sizes) < 1000
 
 
+def test_host_cadence_over_pages(spark):
+    """Regular-interval hosts score near 1 on regularity; the fixture's
+    irregular hosts score lower (north_star per-host cadence stage)."""
+    from data_quality_assessment_spark.plans.pipeline import host_cadence
+    from data_quality_assessment_spark.sources.fixture_gen import gen_pages
+
+    pages = spark.createDataFrame(gen_pages(2000, seed=42))
+    got = host_cadence(pages)
+    rows = got.collect()
+    assert len(rows) > 50  # most hosts present
+    big = [r for r in rows if r.n_pages >= 20 and r.reg_score is not None]
+    assert big, "expected some well-sampled hosts"
+    # the generator makes 90% of hosts near-perfectly regular
+    assert max(r.reg_score for r in big) > 0.8
+    assert all(0.0 <= r.out_score <= 1.0 for r in rows if r.out_score is not None)
+
+
 def test_cadence_pandas_matches_columnar(spark):
     """W2 grouped-map path and the pure-columnar path agree on
     regularity and outlier scores (where both are defined)."""
