@@ -734,19 +734,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     )
-    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
-    a = dbl(F.col("embedding"))
-    b = dbl(F.col("qv"))
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    na = F.aggregate(
-        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-    )
-    nb = F.aggregate(
-        F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-    )
-    cos = dot / (F.sqrt(na) * F.sqrt(nb))
+    from data_quality_assessment_spark.operators.similarity import cosine
+
+    cos = cosine(F.col("embedding"), F.col("qv"), dim=_LSH_DIM)
     return (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
@@ -836,7 +826,9 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_assessment_spark.operators import similarity as sim
 
     e = _load(spark, sf_dir, "embeddings")
-    return sim.cosine_near_dup_pairs(e, "vec_id", "embedding", "label", 0.25)
+    return sim.cosine_near_dup_pairs(
+        e, "vec_id", "embedding", "label", 0.25, dim=_LSH_DIM
+    )
 
 
 ORACLE_COSINE_NEAR_DUP = """
