@@ -848,6 +848,86 @@ SELECT id_a, id_b, cos FROM (
 """
 
 
+def q_schema_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Schema rule engine (functions/schema_rules.py) over a payload
+    synthesized deterministically from event_id so every rule class
+    (type/null/unknown/required) fires on a known subset; the oracle
+    builds the identical payload in SQL and re-derives the counts with
+    DuckDB's JSON functions."""
+    from data_quality_assessment_spark.functions.schema_rules import (
+        JsonSchema,
+        validate,
+    )
+
+    e = _load(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"k": '), (F.col("event_id") % 100).cast("string"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(', "zzz": 1')).otherwise(F.lit("")),
+        F.when(F.col("event_id") % 11 == 0, F.lit(', "k2": "x"')).otherwise(F.lit("")),
+        F.when(F.col("event_id") % 13 == 0, F.lit(', "req2": null')).otherwise(
+            F.when(F.col("event_id") % 3 == 0, F.lit(', "req2": 5')).otherwise(F.lit(""))
+        ),
+        F.lit("}"),
+    )
+    schema = JsonSchema.from_dict({
+        "properties": {
+            "k": {"type": "number"},
+            "k2": {"type": "number"},
+            "req2": {"type": "number"},
+        },
+        "required": ["k", "req2"],
+        "additionalProperties": False,
+    })
+    d = e.select("event_id", payload.alias("payload"))
+    return validate(d, "payload", schema).select(
+        "event_id", "v_type_err_cnt", "v_add_err", "v_req_err_cnt",
+        "v_missing_cnt", "v_err_any",
+    )
+
+
+ORACLE_SCHEMA_VALIDATION = """
+WITH p AS (
+  SELECT event_id,
+    ('{"k": ' || (event_id % 100)::VARCHAR
+     || CASE WHEN event_id % 7 = 0 THEN ', "zzz": 1' ELSE '' END
+     || CASE WHEN event_id % 11 = 0 THEN ', "k2": "x"' ELSE '' END
+     || CASE WHEN event_id % 13 = 0 THEN ', "req2": null'
+             WHEN event_id % 3 = 0 THEN ', "req2": 5' ELSE '' END
+     || '}')::JSON AS j
+  FROM events
+),
+t AS (
+  SELECT event_id,
+    json_type(j, '$.k') AS tk,
+    json_type(j, '$.k2') AS tk2,
+    json_type(j, '$.req2') AS treq2,
+    len(list_filter(json_keys(j), x -> x NOT IN ('k', 'k2', 'req2'))) AS n_unk
+  FROM p
+),
+v AS (
+  SELECT event_id,
+    (CASE WHEN tk IS NOT NULL
+          AND tk NOT IN ('BIGINT','UBIGINT','INTEGER','DOUBLE') THEN 1 ELSE 0 END
+     + CASE WHEN tk2 IS NOT NULL
+          AND tk2 NOT IN ('BIGINT','UBIGINT','INTEGER','DOUBLE') THEN 1 ELSE 0 END
+     + CASE WHEN treq2 IS NOT NULL
+          AND treq2 NOT IN ('BIGINT','UBIGINT','INTEGER','DOUBLE') THEN 1 ELSE 0 END
+    )::INT AS v_type_err_cnt,
+    (CASE WHEN n_unk > 0 THEN 1 ELSE 0 END)::INT AS v_add_err,
+    (CASE WHEN tk IS NULL THEN 1 ELSE 0 END
+     + CASE WHEN treq2 IS NULL THEN 1 ELSE 0 END)::INT AS v_req_err_cnt,
+    (CASE WHEN tk IS NULL OR tk = 'NULL' THEN 1 ELSE 0 END
+     + CASE WHEN treq2 IS NULL OR treq2 = 'NULL' THEN 1 ELSE 0 END)::INT
+      AS v_missing_cnt
+  FROM t
+)
+SELECT event_id, v_type_err_cnt, v_add_err, v_req_err_cnt, v_missing_cnt,
+  (CASE WHEN v_type_err_cnt > 0 OR v_add_err > 0 OR v_req_err_cnt > 0
+   THEN 1 ELSE 0 END)::INT AS v_err_any
+FROM v
+"""
+
+
 def q_six_metric_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship artifact (six scores + avg) over events:
     entity=user_id, required={user_id, ts, event_type, value}, props
@@ -1072,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iat_outage": q_iat_outage,
         "cadence_pandas": q_cadence_pandas,
         "cosine_near_dup": q_cosine_near_dup,
+        "schema_validation": q_schema_validation,
         "six_metric_report": q_six_metric_report,
         "iqr_fences": q_iqr_fences,
         "value_stats": q_value_stats,
@@ -1108,6 +1189,7 @@ def oracle_sql() -> dict[str, str]:
         "iat_outage": ORACLE_IAT_OUTAGE,
         "cadence_pandas": ORACLE_CADENCE_PANDAS,
         "cosine_near_dup": ORACLE_COSINE_NEAR_DUP,
+        "schema_validation": ORACLE_SCHEMA_VALIDATION,
         "six_metric_report": ORACLE_SIX_METRICS,
         "iqr_fences": ORACLE_IQR,
         "value_stats": ORACLE_VALUE_STATS,
