@@ -587,6 +587,54 @@ GROUP BY user_id ORDER BY outage_sec DESC, user_id
 """
 
 
+def q_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A12 full moments (explicit two-pass formulas; see
+    cadence.moments for why library skew/kurtosis don't cross engines)."""
+    e = _load(spark, sf_dir, "events")
+    return cadence.moments(e, "value")
+
+
+ORACLE_VALUE_MOMENTS = """
+WITH mu AS (SELECT avg(value) AS m FROM events)
+SELECT count(*)::BIGINT AS n,
+  round(any_value(mu.m), 6) AS mean,
+  round(sqrt(avg((value - mu.m) * (value - mu.m))), 6) AS std_pop,
+  round(avg((value - mu.m) * (value - mu.m) * (value - mu.m))
+        / pow(avg((value - mu.m) * (value - mu.m)), 1.5), 6) AS skew_pop,
+  round(avg((value - mu.m) * (value - mu.m) * (value - mu.m) * (value - mu.m))
+        / pow(avg((value - mu.m) * (value - mu.m)), 2.0) - 3.0, 6) AS kurt_pop
+FROM events, mu
+"""
+
+
+def q_iat_outliers_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _events_iat(spark, sf_dir).select(
+        "user_id", F.floor("iat").cast("double").alias("iat")
+    )
+    return cadence.outlier_score_median(d, "iat", ["user_id"])
+
+
+ORACLE_IAT_OUT_MED = f"""
+WITH i0 AS ({_SQL_IAT}),
+i AS (SELECT user_id, floor(iat)::DOUBLE AS iat FROM i0 WHERE iat IS NOT NULL),
+m AS (SELECT user_id, quantile_cont(iat, 0.5) AS med FROM i GROUP BY user_id),
+d AS (
+  SELECT i.user_id, i.iat, m.med, abs(i.iat - m.med) AS absdev
+  FROM i JOIN m ON i.user_id = m.user_id
+),
+md AS (
+  SELECT user_id, quantile_cont(absdev, 0.5) AS mad, any_value(med) AS med
+  FROM d GROUP BY user_id
+)
+SELECT i.user_id,
+  round(1 - sum(CASE WHEN md.mad > 0
+      AND 0.6745 * (i.iat - md.med) / md.mad > 3.5
+      THEN 1.0 ELSE 0.0 END) / count(*), 6) AS out_score_med
+FROM i JOIN md ON i.user_id = md.user_id
+GROUP BY i.user_id
+"""
+
+
 def q_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _load(spark, sf_dir, "events")
     f = cadence.iqr_fences(e, "value")
@@ -1154,6 +1202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "schema_validation": q_schema_validation,
         "six_metric_report": q_six_metric_report,
+        "value_moments": q_value_moments,
+        "iat_outliers_median": q_iat_outliers_median,
         "iqr_fences": q_iqr_fences,
         "value_stats": q_value_stats,
         "doc_completeness": q_doc_completeness,
@@ -1191,6 +1241,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_near_dup": ORACLE_COSINE_NEAR_DUP,
         "schema_validation": ORACLE_SCHEMA_VALIDATION,
         "six_metric_report": ORACLE_SIX_METRICS,
+        "value_moments": ORACLE_VALUE_MOMENTS,
+        "iat_outliers_median": ORACLE_IAT_OUT_MED,
         "iqr_fences": ORACLE_IQR,
         "value_stats": ORACLE_VALUE_STATS,
         "doc_completeness": ORACLE_COMPLETENESS,

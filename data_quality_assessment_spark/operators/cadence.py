@@ -195,6 +195,52 @@ def iqr_fences(df: DataFrame, col: str, alpha: float = 1.5) -> DataFrame:
     )
 
 
+def outlier_score_median(
+    df: DataFrame, col: str, group: list[str] | None = None
+) -> DataFrame:
+    """A6 (``scripts/PreProcessing.py:398-400``): the plot-path variant —
+    MEDIAN-centered MAD modified z-score, same one-sided > 3.5 test as
+    the cited line. Returns [group,] out_score_med."""
+    group = group or []
+    clean = df.filter(F.col(col).isNotNull())
+    med = clean.groupBy(*group).agg(F.median(col).alias("_med")) if group \
+        else clean.agg(F.median(col).alias("_med"))
+    j = _join_stat(clean, med, group)
+    dev = j.withColumn("_absdev", F.abs(F.col(col) - F.col("_med")))
+    mad = (
+        dev.groupBy(*group).agg(
+            F.median("_absdev").alias("_mad"), F.first("_med").alias("_med")
+        )
+        if group
+        else dev.agg(F.median("_absdev").alias("_mad"), F.first("_med").alias("_med"))
+    )
+    j2 = _join_stat(clean, mad, group)
+    modz = F.try_divide(0.6745 * (F.col(col) - F.col("_med")), F.col("_mad"))
+    is_out = F.when((F.col("_mad") > 0) & (modz > 3.5), F.lit(1.0)).otherwise(F.lit(0.0))
+    return j2.groupBy(*group).agg(
+        F.round(1 - F.sum(is_out) / F.count(F.lit(1)), 6).alias("out_score_med")
+    )
+
+
+def moments(df: DataFrame, col: str) -> DataFrame:
+    """A4/A12 full descriptive moments with EXPLICIT two-pass central-
+    moment formulas (mean -> avg((x-mu)^k)) so any engine reproduces the
+    exact arithmetic — library skewness/kurtosis definitions differ
+    (pandas bias-corrected, Spark population, DuckDB sample)."""
+    mu_df = df.agg(F.avg(col).alias("_mu"))
+    j = df.crossJoin(F.broadcast(mu_df))
+    d = F.col(col) - F.col("_mu")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.first("_mu"), 6).alias("mean"),
+        F.round(F.sqrt(F.avg(d * d)), 6).alias("std_pop"),
+        F.round(F.avg(d * d * d) / F.pow(F.avg(d * d), 1.5), 6).alias("skew_pop"),
+        F.round(F.avg(d * d * d * d) / F.pow(F.avg(d * d), 2.0) - 3.0, 6).alias(
+            "kurt_pop"
+        ),
+    )
+
+
 def data_stats(df: DataFrame, col: str) -> DataFrame:
     """A4 descriptive stats (explicit moment formulas so the DuckDB oracle
     can reproduce them exactly — library skew/kurtosis definitions vary)."""
