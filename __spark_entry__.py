@@ -71,6 +71,9 @@ from data_quality_assessment_spark.session import ship_package as _ensure_shippe
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_shipped(spark)
+    # TIMESTAMP_NTZ -> TIMESTAMP casts are session-tz-dependent; pin UTC
+    # so IAT math matches the tz-naive DuckDB oracle under any harness
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "token_count",
     "ann_cosine_topk",
     "doc_ppl",
+    "six_metric_report",
+    "schema_validation",
 ]
 
 
