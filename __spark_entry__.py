@@ -1076,7 +1076,9 @@ def q_lsh_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_lsh_signature() -> str:
+def _sql_lsh_bits() -> str:
+    """The sign-bit signature expression over ``embedding`` (shared by
+    the signature and topk oracles)."""
     def plane_dot(j: int) -> str:
         terms = " + ".join(
             f"embedding[{i + 1}]::DOUBLE * "
@@ -1085,11 +1087,60 @@ def _oracle_lsh_signature() -> str:
         )
         return f"({terms})"
 
-    bits = " + ".join(
+    return "(" + " + ".join(
         f"CASE WHEN {plane_dot(j)} > 0 THEN {1 << j} ELSE 0 END"
         for j in range(_LSH_PLANES)
+    ) + ")::BIGINT"
+
+
+def _oracle_lsh_signature() -> str:
+    return f"SELECT vec_id, {_sql_lsh_bits()} AS sig FROM embeddings"
+
+
+def _oracle_lsh_topk() -> str:
+    probes = ", ".join(
+        ["q_sig"] + [f"xor(q_sig, {1 << j}::BIGINT)" for j in range(_LSH_PLANES)]
     )
-    return f"SELECT vec_id, ({bits})::BIGINT AS sig FROM embeddings"
+    dot = " + ".join(
+        f"s.embedding[{i + 1}]::DOUBLE * c.q_vec[{i + 1}]::DOUBLE"
+        for i in range(_LSH_DIM)
+    )
+    na = " + ".join(
+        f"s.embedding[{i + 1}]::DOUBLE * s.embedding[{i + 1}]::DOUBLE"
+        for i in range(_LSH_DIM)
+    )
+    nb = " + ".join(
+        f"c.q_vec[{i + 1}]::DOUBLE * c.q_vec[{i + 1}]::DOUBLE"
+        for i in range(_LSH_DIM)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_sql_lsh_bits()} AS sig FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, sig AS q_sig FROM sigs
+  ORDER BY vec_id LIMIT 3
+),
+probes AS (
+  SELECT q_id, q_vec, unnest([{probes}]) AS sig FROM q
+),
+cand AS (
+  SELECT DISTINCT c.q_id, s.vec_id, c.q_vec, s.embedding
+  FROM probes c JOIN sigs s USING (sig)
+  WHERE s.vec_id <> c.q_id
+),
+scored AS (
+  SELECT c.q_id, c.vec_id,
+    ({dot}) / (sqrt({na}) * sqrt({nb})) AS cos_exact
+  FROM cand c JOIN sigs s ON c.vec_id = s.vec_id
+)
+SELECT q_id, vec_id, round(cos_exact, 4) AS cos, rank FROM (
+  SELECT q_id, vec_id, cos_exact,
+    row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos_exact DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1254,7 +1305,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_email_count": ORACLE_PII_EMAIL,
         "ann_cosine_topk": ORACLE_ANN,
         "lsh_signature": _oracle_lsh_signature(),
+        "lsh_topk": _oracle_lsh_topk(),
         "image_metadata": ORACLE_IMAGE_META,
-        # pipeline_verdict / doc_ppl / lsh_topk: UDF or approximate
-        # stages, rows-only check
+        # pipeline_verdict / doc_ppl: UDF stages, rows-only check
     }
