@@ -27,7 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))
+# 1M docs: with ~4.4s fixed job overhead (scan/schedule/commit) and the
+# vectorized UDF kernel, smaller corpora put the 8->32-core comparison
+# inside Amdahl territory; at 1M the parallel fraction dominates
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache", f"pages_v2_{N_DOCS}")
@@ -91,7 +94,13 @@ def ensure_corpus() -> str:
 
 
 def run_pipeline_once(master_cores: int, corpus: str, out_dir: str) -> float:
-    """One cold SparkSession: read corpus → full DAG → write parquet."""
+    """One SparkSession: warm-up pass, then ONE timed full run.
+
+    Called in alternation (32, 8, 32, 8, ...) by main() so both
+    parallelism levels sample the same host-contention windows — this
+    sandbox shows 3x wall-clock noise in waves, and timing one config's
+    runs back-to-back lets a wave poison that config's minimum.
+    """
     from data_quality_assessment_spark.session import get_spark
     from data_quality_assessment_spark.config import DEFAULT_CONFIG
     from data_quality_assessment_spark.plans.pipeline import (
@@ -106,24 +115,17 @@ def run_pipeline_once(master_cores: int, corpus: str, out_dir: str) -> float:
     )
     try:
         df = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
-        # warm-up: same plan on a slice — pays whole-stage-codegen compile,
-        # JIT, and Python worker fork once, so the timed run measures
+        # warm-up: pays codegen/JIT compile and forks every core's Python
+        # worker (repartition spreads the slice) so the timed run measures
         # steady-state throughput (what a long cluster job sees)
-        # repartition the warm slice so every core's Python worker forks,
-        # imports, and loads the LM singleton before the timed run
         warm = pages_out(
             run_pipeline(df.limit(2000).repartition(2 * master_cores), DEFAULT_CONFIG)
         )
         warm.write.mode("overwrite").parquet(out_dir)
-        # min of three timed runs: identical runs measure 15-50s on this
-        # shared host (3x noise); min approximates uncontended steady state
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            out = pages_out(run_pipeline(df, DEFAULT_CONFIG))
-            out.write.mode("overwrite").parquet(out_dir)
-            best = min(best, time.time() - t0)
-        return best
+        t0 = time.time()
+        out = pages_out(run_pipeline(df, DEFAULT_CONFIG))
+        out.write.mode("overwrite").parquet(out_dir)
+        return time.time() - t0
     finally:
         spark.stop()
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -148,18 +150,22 @@ def main() -> None:
     corpus = ensure_corpus()
     tmp_out = os.path.join(os.path.dirname(CACHE), "_bench_out")
 
-    # --- flagship at full parallelism
-    t_full = run_pipeline_once(CPUS, corpus, tmp_out)
+    # --- flagship at both parallelism levels, ALTERNATING sessions so
+    # both sample the same host-contention windows; min per config
     n_out = N_DOCS  # corpus rows incl. dup injections
+    trials = 3 if DO_SCALING else 1
+    t_full = float("inf")
+    t_small = float("inf")
+    for _ in range(trials):
+        t_full = min(t_full, run_pipeline_once(CPUS, corpus, tmp_out))
+        if DO_SCALING:
+            t_small = min(t_small, run_pipeline_once(8, corpus, tmp_out))
     results: dict[str, float] = {"pipeline_full": round(t_full, 3)}
     scaling = {
         "docs": N_DOCS,
         f"docs_per_sec_local{CPUS}": round(N_DOCS / t_full, 1),
     }
-
-    # --- flagship at small parallelism (scaling evidence, north rule)
     if DO_SCALING:
-        t_small = run_pipeline_once(8, corpus, tmp_out)
         results["pipeline_local8"] = round(t_small, 3)
         eff = (t_small / t_full) / (CPUS / 8)
         scaling.update({

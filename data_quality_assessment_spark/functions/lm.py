@@ -139,11 +139,12 @@ class BigramLM:
         self.logp_uni = np.log(p_uni * (1 - _P_UNK))
         self.logp_unk = math.log(_P_UNK)
 
-    def word_ids(self, text: str) -> list[int]:
-        return [_INDEX.get(w.lower(), UNK) for w in tokenize(text)]
+    def word_ids(self, text: str, tokens: list[str] | None = None) -> list[int]:
+        ws = tokens if tokens is not None else tokenize(text)
+        return [_INDEX.get(w.lower(), UNK) for w in ws]
 
-    def perplexity(self, text: str) -> float:
-        ids = self.word_ids(text)
+    def perplexity(self, text: str, tokens: list[str] | None = None) -> float:
+        ids = self.word_ids(text, tokens)
         if len(ids) < 2:
             return 1.0
         lp = 0.0

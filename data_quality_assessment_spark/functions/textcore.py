@@ -123,14 +123,14 @@ def dup_line_frac(text: str) -> float:
     return 1.0 - len(set(lns)) / len(lns)
 
 
-def top_bigram_share(text: str) -> float:
+def top_bigram_share(text: str, tokens: list[str] | None = None) -> float:
     """Share of the most frequent word bigram among all bigrams.
 
     Computed in the Arrow UDF pass (not native Columns): a native
     ``transform``+``filter`` equivalent is O(n^2) per row, which does not
     survive a 100x scale-up; here it is one O(n) dict pass per document.
     """
-    ws = tokenize(text)
+    ws = tokens if tokens is not None else tokenize(text)
     if len(ws) < 2:
         return 0.0
     counts: dict[tuple[str, str], int] = {}
@@ -155,30 +155,37 @@ def _char_in_ranges(cp: int, ranges: tuple[tuple[int, int], ...]) -> bool:
     return any(lo <= cp <= hi for lo, hi in ranges)
 
 
-def lang_id(text: str) -> tuple[str, float]:
+def lang_id(text: str, tokens: list[str] | None = None) -> tuple[str, float]:
     """Return (lang, confidence) — a fastText-API-shaped stand-in.
+
+    ``tokens``: pre-tokenized words (identical to ``tokenize(text)``) to
+    avoid re-splitting when the caller already has them.
 
     fastText itself is unavailable offline (SURVEY.md §7.5); the loader
     seam in ``langid.py`` allows swapping real model weights in. The
     stand-in is fully deterministic: Unicode-script voting for non-Latin
     scripts, stopword-hit-rate evidence for English.
+
+    Script counting is vectorized over the codepoint array (a per-char
+    Python loop here was 89% of the whole annotate stage, profiled); the
+    ranges are disjoint so the masked counts equal the loop's counts
+    exactly.
     """
     if not text:
         return ("unk", 0.0)
-    counts = {k: 0 for k in SCRIPT_RANGES}
+    import numpy as np
+
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
     latin = 0
-    letters = 0
-    for ch in text:
-        cp = ord(ch)
-        if _char_in_ranges(cp, _LATIN):
-            latin += 1
-            letters += 1
-            continue
-        for k, rngs in SCRIPT_RANGES.items():
-            if _char_in_ranges(cp, rngs):
-                counts[k] += 1
-                letters += 1
-                break
+    for lo, hi in _LATIN:
+        latin += int(((cp >= lo) & (cp <= hi)).sum())
+    counts = {}
+    for k, rngs in SCRIPT_RANGES.items():
+        c = 0
+        for lo, hi in rngs:
+            c += int(((cp >= lo) & (cp <= hi)).sum())
+        counts[k] = c
+    letters = latin + sum(counts.values())
     if letters == 0:
         return ("unk", 0.0)
     best_script = max(counts, key=lambda k: (counts[k], k))
@@ -186,7 +193,7 @@ def lang_id(text: str) -> tuple[str, float]:
     if frac >= 0.30:
         return (best_script, round(frac, 6))
     if latin / letters >= 0.50:
-        ws = tokenize(text)
+        ws = tokens if tokens is not None else tokenize(text)
         sf = sum(1 for w in ws if w.lower() in STOPWORD_SET) / len(ws) if ws else 0.0
         iv = sum(1 for w in ws if w.lower() in ENGLISH_LEXICON) / len(ws) if ws else 0.0
         conf = min(1.0, 0.6 * iv + 1.5 * sf + 0.05)

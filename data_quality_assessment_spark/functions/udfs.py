@@ -60,10 +60,11 @@ def annotate_udf(
                 txt = t
             else:
                 txt = ""
-            lang, conf = textcore.lang_id(txt)
+            toks = textcore.tokenize(txt)  # shared by all three kernels
+            lang, conf = textcore.lang_id(txt, toks)
             rows.append((
-                txt, lang, conf, model.perplexity(txt),
-                textcore.top_bigram_share(txt),
+                txt, lang, conf, model.perplexity(txt, toks),
+                textcore.top_bigram_share(txt, toks),
             ))
         yield pd.DataFrame(
             rows,

@@ -36,6 +36,10 @@ def get_spark(
         # starving the ArrowEvalPython stage (irrelevant at TB scale, where
         # partitions are fat; harmless there)
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # smaller input splits: the scan stage feeds CPU-heavy downstream
+        # work (window partial + Arrow UDFs), so a 128MB-split scan of a
+        # few-hundred-MB input serializes the first stage on small hosts
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
