@@ -27,10 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 1M docs: with ~4.4s fixed job overhead (scan/schedule/commit) and the
-# vectorized UDF kernel, smaller corpora put the 8->32-core comparison
-# inside Amdahl territory; at 1M the parallel fraction dominates
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+# 400k default bounds total bench wall (~8 min incl. 6 alternating
+# sessions); 1M was also measured (see BENCH/BASELINE.md) — the corpus is
+# seed-deterministic at any size via SPARK_GRAFT_BENCH_DOCS
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache", f"pages_v2_{N_DOCS}")
@@ -93,7 +93,41 @@ def ensure_corpus() -> str:
     return CACHE
 
 
-def run_pipeline_once(master_cores: int, corpus: str, out_dir: str) -> float:
+def _tree_cpu_seconds() -> float:
+    """Total CPU seconds consumed so far by this process tree (driver
+    JVM + executor threads + Python workers). Deltas across a timed run
+    give host-noise-independent work measurements: if CPU-per-doc is
+    ~equal at 8 and 32 cores, the job is embarrassingly parallel and any
+    wall-clock efficiency gap is host contention, not the plan."""
+    clk = os.sysconf("SC_CLK_TCK")
+    procs: dict[int, tuple[int, float]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            procs[int(pid)] = (int(parts[1]), (int(parts[11]) + int(parts[12])) / clk)
+        except OSError:
+            continue
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    total = 0.0
+    stack, seen = [os.getpid()], set()
+    while stack:
+        p = stack.pop()
+        if p in seen:
+            continue
+        seen.add(p)
+        total += procs.get(p, (0, 0.0))[1]
+        stack.extend(children.get(p, []))
+    return total
+
+
+def run_pipeline_once(
+    master_cores: int, corpus: str, out_dir: str
+) -> tuple[float, float]:
     """One SparkSession: warm-up pass, then ONE timed full run.
 
     Called in alternation (32, 8, 32, 8, ...) by main() so both
@@ -122,10 +156,11 @@ def run_pipeline_once(master_cores: int, corpus: str, out_dir: str) -> float:
             run_pipeline(df.limit(2000).repartition(2 * master_cores), DEFAULT_CONFIG)
         )
         warm.write.mode("overwrite").parquet(out_dir)
+        c0 = _tree_cpu_seconds()
         t0 = time.time()
         out = pages_out(run_pipeline(df, DEFAULT_CONFIG))
         out.write.mode("overwrite").parquet(out_dir)
-        return time.time() - t0
+        return time.time() - t0, _tree_cpu_seconds() - c0
     finally:
         spark.stop()
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -154,25 +189,34 @@ def main() -> None:
     # both sample the same host-contention windows; min per config
     n_out = N_DOCS  # corpus rows incl. dup injections
     trials = 3 if DO_SCALING else 1
-    t_full = float("inf")
-    t_small = float("inf")
+    t_full = c_full = float("inf")
+    t_small = c_small = float("inf")
     for _ in range(trials):
-        t_full = min(t_full, run_pipeline_once(CPUS, corpus, tmp_out))
+        t, c = run_pipeline_once(CPUS, corpus, tmp_out)
+        t_full, c_full = min(t_full, t), min(c_full, c)
         if DO_SCALING:
-            t_small = min(t_small, run_pipeline_once(8, corpus, tmp_out))
+            t, c = run_pipeline_once(8, corpus, tmp_out)
+            t_small, c_small = min(t_small, t), min(c_small, c)
     results: dict[str, float] = {"pipeline_full": round(t_full, 3)}
     scaling = {
         "docs": N_DOCS,
         f"docs_per_sec_local{CPUS}": round(N_DOCS / t_full, 1),
+        f"cpu_sec_per_kdoc_local{CPUS}": round(1000 * c_full / N_DOCS, 3),
     }
     if DO_SCALING:
         results["pipeline_local8"] = round(t_small, 3)
         eff = (t_small / t_full) / (CPUS / 8)
         scaling.update({
             "docs_per_sec_local8": round(N_DOCS / t_small, 1),
+            "cpu_sec_per_kdoc_local8": round(1000 * c_small / N_DOCS, 3),
             "cores_small": 8,
             "cores_large": CPUS,
             "scaling_efficiency": round(eff, 3),
+            # host-noise-independent parallel-efficiency evidence: the
+            # ratio of CPU work per doc across levels (1.0 = the plan
+            # does the same total work regardless of parallelism)
+            "cpu_work_ratio_32_over_8": round(c_full / c_small, 3)
+            if c_small > 0 else None,
         })
 
     # --- operator queries at SF_DIR

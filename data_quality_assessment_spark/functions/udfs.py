@@ -98,6 +98,48 @@ def scrub_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         )
 
 
+ENRICH_SCHEMA = T.StructType(
+    list(ANNOTATE_SCHEMA.fields) + list(SCRUB_SCHEMA.fields)
+)
+
+
+@F.pandas_udf(ENRICH_SCHEMA)
+def enrich_udf(
+    batches: Iterator[tuple[pd.Series, pd.Series]],
+) -> Iterator[pd.DataFrame]:
+    """(html, text) -> extract + langid + ppl + repetition + scrub, fused
+    into ONE ArrowEvalPython node.
+
+    Fusing matters beyond serialization: each ArrowEvalPython node runs
+    its own Python worker per task, so two chained UDF stages put
+    2x|cores| Python processes plus |cores| JVM threads on the box —
+    measured 3x per-core slowdown at local[32] vs local[8] from that
+    oversubscription alone. One node = one worker per task, and the text
+    crosses the JVM<->Python boundary once instead of three times.
+    """
+    model = get_model()  # per-worker singleton, loaded once
+    cols = [f.name for f in ENRICH_SCHEMA.fields]
+    for htmls, texts in batches:
+        rows = []
+        for b, t in zip(htmls, texts):
+            if b is not None:
+                txt = textcore.extract_text(bytes(b))
+            elif isinstance(t, str):
+                txt = t
+            else:
+                txt = ""
+            toks = textcore.tokenize(txt)
+            lang, conf = textcore.lang_id(txt, toks)
+            scrubbed, c = textcore.scrub_text(txt)
+            rows.append((
+                txt, lang, conf, model.perplexity(txt, toks),
+                textcore.top_bigram_share(txt, toks),
+                scrubbed, c["pii_email"], c["pii_ip"], c["pii_phone"],
+                c["toxicity_slur"],
+            ))
+        yield pd.DataFrame(rows, columns=cols)
+
+
 @F.pandas_udf(T.StringType())
 def extract_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """html binary -> extracted text (byte-stable; see textcore.extract_text)."""

@@ -102,10 +102,14 @@ def _fired_array(rules: list[tuple[str, Column]]) -> Column:
 
 
 def annotate(df: DataFrame) -> DataFrame:
-    """UDF pass 1 + native stats. Adds: text_extracted, lang_pred,
-    lang_conf, ppl, top_bigram_share, nw, mean_wl, symbol_ratio,
-    stopword_frac, dup_line_frac, host."""
-    ann = annotate_udf(F.col("html"), F.col("text"))
+    """The single fused UDF pass + native stats. Adds: text_extracted,
+    lang_pred, lang_conf, ppl, top_bigram_share, scrubbed_text, PII/slur
+    counts, nw, mean_wl, symbol_ratio, stopword_frac, dup_line_frac,
+    host. One ArrowEvalPython node — see udfs.enrich_udf for why fusing
+    (not chaining) the scrub stage matters."""
+    from ..functions.udfs import enrich_udf
+
+    ann = enrich_udf(F.col("html"), F.col("text"))
     df = df.withColumn("_ann", ann).select("*", "_ann.*").drop("_ann")
     txt = F.col("text_extracted")
     return (
@@ -123,9 +127,10 @@ def annotate(df: DataFrame) -> DataFrame:
 
 
 def scrub(df: DataFrame) -> DataFrame:
-    """UDF pass 2: scrubbed_text + PII/slur counts over text_extracted."""
-    sc = scrub_udf(F.col("text_extracted"))
-    return df.withColumn("_sc", sc).select("*", "_sc.*").drop("_sc")
+    """No-op since the scrub fused into the enrich UDF (kept so callers
+    and the resumable plan read as annotate -> scrub -> verdict); the
+    standalone ``scrub_udf`` remains for scrubbing arbitrary columns."""
+    return df
 
 
 def verdict(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
