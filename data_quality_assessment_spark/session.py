@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # throughput batch jobs: ParallelGC measured 2-3x faster than the
+        # G1 default on the text pipeline at local[32] (G1's concurrent
+        # threads compound core contention; applies at JVM launch only)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
