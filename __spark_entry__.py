@@ -266,10 +266,13 @@ WITH t AS (
 ), s AS (
   SELECT doc_id, w, latin, cyr, cjk, deva,
     (latin + cyr + cjk + deva) AS letters,
+    -- tie-break mirrors Python max(counts, key=(count, key-string)):
+    -- 'xx_deva' > 'xx_cyr' > 'xx_cjk', so deva wins ties with both and
+    -- cyr wins ties with cjk
     CASE
-      WHEN cjk > cyr AND cjk >= deva THEN cjk
-      WHEN deva > cyr AND deva > cjk THEN deva
-      ELSE cyr END AS best_cnt
+      WHEN deva >= cjk AND deva >= cyr THEN deva
+      WHEN cyr >= cjk THEN cyr
+      ELSE cjk END AS best_cnt
   FROM c
 )
 SELECT doc_id,
@@ -277,9 +280,9 @@ SELECT doc_id,
     WHEN letters = 0 THEN 'unk'
     WHEN best_cnt::DOUBLE / letters >= 0.30 THEN
       CASE
-        WHEN cjk > cyr AND cjk >= deva THEN 'xx_cjk'
-        WHEN deva > cyr AND deva > cjk THEN 'xx_deva'
-        ELSE 'xx_cyr' END
+        WHEN deva >= cjk AND deva >= cyr THEN 'xx_deva'
+        WHEN cyr >= cjk THEN 'xx_cyr'
+        ELSE 'xx_cjk' END
     WHEN latin::DOUBLE / letters >= 0.50 THEN
       CASE WHEN least(1.0,
           0.6 * (CASE WHEN len(w) > 0 THEN
@@ -1210,15 +1213,32 @@ FROM documents
 
 
 def q_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-pipeline verdict, projected to its SQL-expressible columns —
+    keep/quality_score and the fired DROP rules (every drop-rule input:
+    stats, langid, perplexity, slur detection — has a DuckDB twin; see
+    the generated oracle). The scrubbed text (lookbehind regexes, not
+    RE2-expressible) lives in the separate rows-only ``pipeline_scrub``
+    query, pinned byte-exact by tests/test_pipeline_parity.py."""
     pages = _pages(spark, sf_dir)
     out = pipeline.run_pipeline(pages, DEFAULT_CONFIG)
+    drop_ids = F.array(*[F.lit(r) for r in pipeline.DROP_RULE_IDS])
     return out.select(
         "url",
         "keep",
         F.round("quality_score", 6).alias("quality_score"),
-        F.size("rules_fired").alias("n_rules_fired"),
-        "scrubbed_text",
+        F.concat_ws(",", F.array_intersect(F.col("rules_fired"), drop_ids))
+        .alias("drops_csv"),
     )
+
+
+def q_pipeline_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub output (rows-only: PHONE/IP lookbehinds are beyond RE2 /
+    DuckDB; byte-identity is pinned by the pandas-oracle parity test and
+    the email count by the ``pii_email_count`` oracle)."""
+    pages = _pages(spark, sf_dir)
+    out = pipeline.run_pipeline(pages, DEFAULT_CONFIG)
+    return out.select("url", "scrubbed_text", "pii_email", "pii_ip",
+                      "pii_phone", "toxicity_slur")
 
 
 def q_doc_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1227,6 +1247,214 @@ def q_doc_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     ann = annotate_udf(F.lit(None).cast("binary"), F.col("text"))
     return d.select("doc_id", F.round(ann.ppl, 6).alias("ppl"))
+
+
+# ---------------------------------------------------------------------------
+# generated LM oracles: the bigram model's quantized log-prob tables are
+# emitted as VALUES lists AT CALL TIME from the in-repo model (no data
+# blob in the repo). lm.py quantizes every log-prob to k*2^-20 (k int),
+# so SUM(k) is exact under any summation order and DuckDB reproduces the
+# kernel's perplexity bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _lm_tables_sql() -> tuple[str, int, int]:
+    """(CTE clauses ``vocab/unit/bit``, UNK id, k_unk)."""
+    import numpy as np
+
+    from data_quality_assessment_spark.functions.lm import get_model
+    from data_quality_assessment_spark.functions.textcore import VOCAB, VOCAB_UNK
+
+    m = get_model()
+    q = 2.0 ** 20
+    k_bi = np.rint(-m.logp_bi * q).astype(np.int64)
+    k_uni = np.rint(-m.logp_uni * q).astype(np.int64)
+    k_unk = int(round(-m.logp_unk * q))
+    v = len(VOCAB)
+    vocab_rows = ", ".join(f"('{w}', {i})" for i, w in enumerate(VOCAB))
+    uni_rows = ", ".join(f"({c}, {int(k_uni[c])})" for c in range(v))
+    bi_rows = ", ".join(
+        f"({p},{c},{int(k_bi[p, c])})" for p in range(v) for c in range(v)
+    )
+    ctes = (
+        f"vocab(w, id) AS (VALUES {vocab_rows}),\n"
+        f"unit(c, k) AS (VALUES {uni_rows}),\n"
+        f"bit(p, c, k) AS (VALUES {bi_rows})"
+    )
+    return ctes, VOCAB_UNK, k_unk
+
+
+def _oracle_doc_ppl_sql() -> str:
+    ctes, unk, k_unk = _lm_tables_sql()
+    words = _SQL_WORDS
+    return f"""
+WITH {ctes},
+tw AS (SELECT doc_id, {words} AS w FROM documents),
+toks AS (
+  SELECT tw.doc_id, g.i, tw.w[g.i] AS tok
+  FROM tw, unnest(generate_series(1, len(tw.w))) AS g(i)
+),
+ids AS (
+  SELECT toks.doc_id, toks.i, coalesce(v.id, {unk}) AS id
+  FROM toks LEFT JOIN vocab v ON lower(toks.tok) = v.w
+),
+pairs AS (
+  SELECT a.doc_id, a.id AS p, b.id AS c
+  FROM ids a JOIN ids b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+terms AS (
+  SELECT pairs.doc_id,
+    CASE WHEN pairs.c = {unk} THEN {k_unk}
+         WHEN pairs.p = {unk} THEN unit.k
+         ELSE bit.k END AS k
+  FROM pairs
+  LEFT JOIN unit ON unit.c = pairs.c
+  LEFT JOIN bit ON bit.p = pairs.p AND bit.c = pairs.c
+),
+n AS (SELECT doc_id, count(*) AS nt FROM ids GROUP BY doc_id),
+s AS (SELECT doc_id, SUM(k) AS sk FROM terms GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN coalesce(n.nt, 0) < 2 THEN 1.0
+       ELSE round(exp((s.sk / 1048576.0) / (n.nt - 1)), 6) END AS ppl
+FROM documents d
+LEFT JOIN n USING (doc_id) LEFT JOIN s USING (doc_id)
+"""
+
+
+def _oracle_pipeline_verdict_sql() -> str:
+    """Full drop-rule verdict over documents-as-pages: tag-strip
+    extraction, stats, langid (fixed tie-break), LM perplexity (exact
+    quantized sums), top-bigram share, slur detection — every drop rule
+    of plans/pipeline.drop_rules in order. The exact dedup is a no-op
+    here because _pages derives a unique url per doc_id; ts_null never
+    fires (warc_ts is synthesized non-null)."""
+    ctes, unk, k_unk = _lm_tables_sql()
+    from data_quality_assessment_spark.functions.textcore import SLUR_LEXICON
+
+    slur_re = "(?i)\\b(?:" + "|".join(SLUR_LEXICON) + ")\\b"
+    lang_in = ", ".join(f"'{la}'" for la in TH.allowed_langs)
+    dlf = (
+        "list_filter(list_transform(string_split(txt, chr(10)), "
+        f"l -> regexp_replace(regexp_replace(l, '^{WS}+', ''), '{WS}+$', '')), "
+        "l -> l <> '')"
+    )
+    return f"""
+WITH {ctes},
+base AS (
+  SELECT 'https://' || source || '/' || doc_id::VARCHAR AS url,
+    lang,
+    CASE WHEN text IS NULL THEN ''
+         ELSE regexp_replace(text, '<[^>]*>', '', 'g') END AS txt
+  FROM documents
+),
+t AS (
+  SELECT url, lang, txt,
+    list_filter(regexp_split_to_array(txt, '{WS}+'), x -> x <> '') AS w
+  FROM base
+),
+toks AS (
+  SELECT t.url, g.i, t.w[g.i] AS tok
+  FROM t, unnest(generate_series(1, len(t.w))) AS g(i)
+),
+idt AS (
+  SELECT toks.url, toks.i,
+    CASE WHEN v.id IS NULL THEN {unk} ELSE v.id END AS id
+  FROM toks LEFT JOIN vocab v ON lower(toks.tok) = v.w
+),
+pairs AS (
+  SELECT a.url, a.id AS p, b.id AS c
+  FROM idt a JOIN idt b ON a.url = b.url AND b.i = a.i + 1
+),
+terms AS (
+  SELECT pairs.url,
+    CASE WHEN pairs.c = {unk} THEN {k_unk}
+         WHEN pairs.p = {unk} THEN unit.k
+         ELSE bit.k END AS k
+  FROM pairs
+  LEFT JOIN unit ON unit.c = pairs.c
+  LEFT JOIN bit ON bit.p = pairs.p AND bit.c = pairs.c
+),
+sks AS (SELECT url, SUM(k) AS sk FROM terms GROUP BY url),
+bg AS (
+  SELECT url, max(cnt) AS best FROM (
+    SELECT a.url, a.tok AS w1, b.tok AS w2, count(*) AS cnt
+    FROM toks a JOIN toks b ON a.url = b.url AND b.i = a.i + 1
+    GROUP BY a.url, a.tok, b.tok
+  ) GROUP BY url
+),
+s AS (
+  SELECT t.url, t.lang, t.txt, len(t.w) AS nw,
+    CASE WHEN len(w) > 0
+      THEN list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)
+      ELSE 0.0 END AS mwl,
+    CASE WHEN len(w) > 0
+      THEN len(regexp_extract_all(txt, '{SYMBOL_CLASS}'))::DOUBLE / len(w)
+      ELSE 0.0 END AS sym,
+    CASE WHEN len(w) > 0
+      THEN len(list_filter(w, x -> list_contains({_SQL_STOPS}, lower(x))))::DOUBLE / len(w)
+      ELSE 0.0 END AS swf,
+    CASE WHEN len(w) > 0
+      THEN len(list_filter(w, x -> list_contains({_SQL_LEXICON}, lower(x))))::DOUBLE / len(w)
+      ELSE 0.0 END AS iv,
+    CASE WHEN len({dlf}) > 0
+      THEN 1.0 - len(list_distinct({dlf}))::DOUBLE / len({dlf})
+      ELSE 0.0 END AS dlf,
+    len(regexp_extract_all(txt, '[A-Za-z]')) AS latin,
+    len(regexp_extract_all(txt, '[\\x{{0400}}-\\x{{04FF}}]')) AS cyr,
+    len(regexp_extract_all(txt, '[\\x{{4E00}}-\\x{{9FFF}}\\x{{3040}}-\\x{{30FF}}]')) AS cjk,
+    len(regexp_extract_all(txt, '[\\x{{0900}}-\\x{{097F}}]')) AS deva,
+    CASE WHEN len(t.w) < 2 THEN 1.0
+         ELSE round(exp((sks.sk / 1048576.0) / (len(t.w) - 1)), 6) END AS ppl,
+    CASE WHEN len(t.w) < 2 THEN 0.0
+         ELSE coalesce(bg.best, 0)::DOUBLE / (len(t.w) - 1) END AS tbs,
+    len(regexp_extract_all(txt, '{slur_re}')) AS slur_cnt
+  FROM t LEFT JOIN sks ON sks.url = t.url LEFT JOIN bg ON bg.url = t.url
+),
+lp AS (
+  SELECT *, (latin + cyr + cjk + deva) AS letters,
+    CASE WHEN deva >= cjk AND deva >= cyr THEN deva
+         WHEN cyr >= cjk THEN cyr
+         ELSE cjk END AS best_cnt
+  FROM s
+),
+lg AS (
+  SELECT *,
+    CASE
+      WHEN letters = 0 THEN 'unk'
+      WHEN best_cnt::DOUBLE / letters >= 0.30 THEN
+        CASE WHEN deva >= cjk AND deva >= cyr THEN 'xx_deva'
+             WHEN cyr >= cjk THEN 'xx_cyr'
+             ELSE 'xx_cjk' END
+      WHEN latin::DOUBLE / letters >= 0.50 THEN
+        CASE WHEN least(1.0, 0.6 * iv + 1.5 * swf + 0.05) >= 0.20
+             THEN 'en' ELSE 'unk' END
+      ELSE 'unk'
+    END AS lang_pred
+  FROM lp
+),
+r AS (
+  SELECT url,
+    list_filter([
+      CASE WHEN nw = 0 THEN 'text_blank' END,
+      CASE WHEN nw < {TH.min_words} THEN 'too_short' END,
+      CASE WHEN nw > {TH.max_words} THEN 'too_long' END,
+      CASE WHEN mwl < {TH.min_mean_word_len} THEN 'mean_wl_low' END,
+      CASE WHEN mwl > {TH.max_mean_word_len} THEN 'mean_wl_high' END,
+      CASE WHEN sym > {TH.max_symbol_word_ratio} THEN 'symbol_ratio' END,
+      CASE WHEN lang_pred = 'en' AND swf < {TH.min_stopword_frac} THEN 'stopword_frac' END,
+      CASE WHEN dlf > {TH.max_dup_line_frac} THEN 'dup_line' END,
+      CASE WHEN tbs > {TH.max_top_bigram_share} THEN 'top_bigram' END,
+      CASE WHEN lang_pred NOT IN ({lang_in}) THEN 'lang' END,
+      CASE WHEN ppl > {TH.max_perplexity} THEN 'ppl_high' END,
+      CASE WHEN slur_cnt > 0 THEN 'slur' END
+    ], x -> x IS NOT NULL) AS fired
+  FROM lg
+)
+SELECT url, len(fired) = 0 AS keep,
+  round(1.0 - len(fired) / 13.0, 6) AS quality_score,
+  coalesce(array_to_string(fired, ','), '') AS drops_csv
+FROM r
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1269,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "image_metadata": q_image_metadata,
         "pipeline_verdict": q_pipeline_verdict,
+        "pipeline_scrub": q_pipeline_scrub,
         "doc_ppl": q_doc_ppl,
     }
 
@@ -1307,5 +1536,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_signature": _oracle_lsh_signature(),
         "lsh_topk": _oracle_lsh_topk(),
         "image_metadata": ORACLE_IMAGE_META,
-        # pipeline_verdict / doc_ppl: UDF stages, rows-only check
+        "doc_ppl": _oracle_doc_ppl_sql(),
+        "pipeline_verdict": _oracle_pipeline_verdict_sql(),
+        # pipeline_scrub: rows-only — PHONE/IP lookbehind regexes are not
+        # RE2/DuckDB-expressible; byte-identity is pinned by
+        # tests/test_pipeline_parity.py and the pii_email_count oracle
     }

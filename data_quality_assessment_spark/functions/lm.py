@@ -16,12 +16,11 @@ import math
 
 import numpy as np
 
-from .textcore import CONTENT_WORDS, STOPWORDS, tokenize
+from .textcore import STOPWORDS, VOCAB, VOCAB_INDEX, tokenize, word_ids
 
-VOCAB: tuple[str, ...] = tuple(dict.fromkeys(STOPWORDS + CONTENT_WORDS))
 _V = len(VOCAB)
-_INDEX = {w: i for i, w in enumerate(VOCAB)}
-UNK = _V  # out-of-vocab id
+_INDEX = VOCAB_INDEX
+UNK = _V  # out-of-vocab id (== textcore.VOCAB_UNK)
 
 _SMOOTH = 0.1
 _SEED = 42
@@ -135,29 +134,42 @@ class BigramLM:
         p_uni = (uni + _SMOOTH) / (uni.sum() + _SMOOTH * _V)
         # interpolated conditional, scaled by the in-vocab mass
         p_mix = (_LAMBDA_BI * p_bi + (1 - _LAMBDA_BI) * p_uni[None, :]) * (1 - _P_UNK)
-        self.logp_bi = np.log(p_mix)
-        self.logp_uni = np.log(p_uni * (1 - _P_UNK))
-        self.logp_unk = math.log(_P_UNK)
+        # log-probs QUANTIZED to multiples of 2^-20 (~1e-6 nat granularity):
+        # every per-token term is k*2^-20 with |sum| << 2^33, so partial
+        # sums are exactly representable and ADDITION IS EXACT — the total
+        # log-prob is bit-identical under ANY summation order (sequential
+        # loop, numpy pairwise, DuckDB SUM). This is what lets the doc_ppl
+        # DuckDB oracle hash-match the Spark kernel exactly.
+        q = 2.0 ** 20
+        self.logp_bi = np.rint(np.log(p_mix) * q) / q
+        self.logp_uni = np.rint(np.log(p_uni * (1 - _P_UNK)) * q) / q
+        self.logp_unk = float(np.rint(math.log(_P_UNK) * q) / q)
 
-    def word_ids(self, text: str, tokens: list[str] | None = None) -> list[int]:
+    def word_ids(self, text: str, tokens: list[str] | None = None):
         ws = tokens if tokens is not None else tokenize(text)
-        return [_INDEX.get(w.lower(), UNK) for w in ws]
+        return word_ids(ws)
+
+    def perplexity_ids(self, ids) -> float:
+        """ppl from a precomputed ``textcore.word_ids`` array (the fused
+        kernel path — ids are shared with langid/stopword_frac)."""
+        n = len(ids)
+        if n < 2:
+            return 1.0
+        prev, cur = ids[:-1], ids[1:]
+        unk_cur = cur == UNK
+        unk_prev = prev == UNK
+        cur_c = np.where(unk_cur, 0, cur)
+        prev_c = np.where(unk_prev, 0, prev)
+        terms = np.where(
+            unk_cur,
+            self.logp_unk,
+            np.where(unk_prev, self.logp_uni[cur_c], self.logp_bi[prev_c, cur_c]),
+        )
+        lp = float(terms.sum())  # exact: quantized terms (see __init__)
+        return float(round(math.exp(-lp / (n - 1)), 6))
 
     def perplexity(self, text: str, tokens: list[str] | None = None) -> float:
-        ids = self.word_ids(text, tokens)
-        if len(ids) < 2:
-            return 1.0
-        lp = 0.0
-        prev = ids[0]
-        for cur in ids[1:]:
-            if cur == UNK:
-                lp += self.logp_unk
-            elif prev == UNK:
-                lp += self.logp_uni[cur]
-            else:
-                lp += self.logp_bi[prev, cur]
-            prev = cur
-        return float(round(math.exp(-lp / (len(ids) - 1)), 6))
+        return self.perplexity_ids(self.word_ids(text, tokens))
 
     def perplexity_batch(self, texts: list[str | None]) -> list[float]:
         return [self.perplexity(t) if t else 1.0 for t in texts]

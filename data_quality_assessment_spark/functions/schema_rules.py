@@ -42,30 +42,46 @@ _TYPE_ACCEPT: dict[str, tuple[str, ...]] = {
 @dataclass(frozen=True)
 class JsonSchema:
     """The subset of JSON Schema the reference uses (SURVEY.md §1.1):
-    ``properties`` types, ``required``, ``additionalProperties``."""
+    ``properties`` types, ``required``, ``additionalProperties``, plus ONE
+    level of nested object schemas (``nested``) — the reference's Draft7
+    validator recurses into object-typed properties, and the EnvAQM golden
+    report's 231 format errors are ALL nested
+    (``so2.avgOverTime: null`` etc. — verified against
+    ``/root/reference/schemas/schema_EnvAQM.json`` + Draft7)."""
 
     properties: dict[str, str]  # name -> declared type
     required: tuple[str, ...] = ()
     additional_properties: bool = True
+    # object-typed property name -> its sub-schema (properties/required)
+    nested: dict[str, "JsonSchema"] = field(default_factory=dict)
 
     @staticmethod
     def from_dict(d: dict) -> "JsonSchema":
+        props = d.get("properties", {})
         return JsonSchema(
-            properties={
-                k: v.get("type", "string") for k, v in d.get("properties", {}).items()
-            },
+            properties={k: v.get("type", "string") for k, v in props.items()},
             required=tuple(d.get("required", ())),
             additional_properties=bool(d.get("additionalProperties", True)),
+            nested={
+                k: JsonSchema.from_dict(v)
+                for k, v in props.items()
+                if v.get("type") == "object"
+                and ("properties" in v or "required" in v)
+            },
         )
 
 
-def _type_ok(v: Column, key: str, declared: str) -> Column:
-    got = F.schema_of_variant(F.variant_get(v, f"$.{key}", "variant"))
+def _nested_type_ok(nv: Column, declared: str) -> Column:
+    got = F.schema_of_variant(nv)
     accept = _TYPE_ACCEPT.get(declared, ("STRING",))
     cond = F.lit(False)
     for p in accept:
         cond = cond | got.startswith(p)
     return cond
+
+
+def _type_ok(v: Column, key: str, declared: str) -> Column:
+    return _nested_type_ok(F.variant_get(v, f"$.{key}", "variant"), declared)
 
 
 def validate(df: DataFrame, json_col: str, schema: JsonSchema) -> DataFrame:
@@ -90,6 +106,27 @@ def validate(df: DataFrame, json_col: str, schema: JsonSchema) -> DataFrame:
         ).otherwise(F.lit(0))
         for k, t in schema.properties.items()
     ]
+    # one level of recursion into object-typed properties (Draft7 descends;
+    # nested ``required``/``properties`` keywords apply only when the value
+    # IS an object — a wrong-typed parent yields only the top-level error)
+    nested_req = []
+    for k, sub in schema.nested.items():
+        k_is_obj = present[k] & ~is_null[k] & _type_ok(v, k, "object")
+        for nk, nt in sub.properties.items():
+            nv = F.variant_get(v, f"$.{k}.{nk}", "variant")
+            # SQL NULL <=> key absent; VARIANT null <=> JSON null present
+            n_present = nv.isNotNull()
+            n_bad = F.is_variant_null(nv) | ~_nested_type_ok(nv, nt)
+            type_err.append(
+                F.when(k_is_obj & n_present & n_bad, F.lit(1)).otherwise(F.lit(0))
+            )
+            if nk in sub.required:
+                # jsonschema emits "... is a required property" for these,
+                # which the reference's suffix-match counts into
+                # req_prop_err_count (metricModules.py:139-144)
+                nested_req.append(
+                    F.when(k_is_obj & ~n_present, F.lit(1)).otherwise(F.lit(0))
+                )
     type_err_cnt = sum(type_err[1:], type_err[0]) if type_err else F.lit(0)
 
     if schema.additional_properties:
@@ -98,18 +135,31 @@ def validate(df: DataFrame, json_col: str, schema: JsonSchema) -> DataFrame:
         unknown = F.array_except(keys, F.array(*[F.lit(k) for k in declared]))
         add_err = F.when(F.size(unknown) > 0, F.lit(1)).otherwise(F.lit(0))
 
+    # required keys outside ``properties`` are still checked for presence
+    # against the record's actual keys (valid JSON Schema does not require
+    # required ⊆ properties)
     req_absent = [
-        F.when(~present[k], F.lit(1)).otherwise(F.lit(0))
+        F.when(
+            ~(present[k] if k in present else F.array_contains(keys, k)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
         for k in schema.required
-        if k in present
-    ] + [F.lit(1) for k in schema.required if k not in schema.properties]
+    ] + nested_req
     req_err_cnt = sum(req_absent[1:], req_absent[0]) if req_absent else F.lit(0)
 
+    def _null_of(k: str) -> Column:
+        if k in is_null:
+            return is_null[k]
+        return F.is_variant_null(F.variant_get(v, f"$.{k}", "variant"))
+
     missing = [
-        F.when(~present[k] | is_null[k], F.lit(1)).otherwise(F.lit(0))
+        F.when(
+            ~(present[k] if k in present else F.array_contains(keys, k))
+            | _null_of(k),
+            F.lit(1),
+        ).otherwise(F.lit(0))
         for k in schema.required
-        if k in present
-    ] + [F.lit(1) for k in schema.required if k not in schema.properties]
+    ]
     missing_cnt = sum(missing[1:], missing[0]) if missing else F.lit(0)
 
     bad_json = F.col(json_col).isNotNull() & v.isNull()
@@ -129,9 +179,15 @@ def validate(df: DataFrame, json_col: str, schema: JsonSchema) -> DataFrame:
     )
 
 
-def schema_metrics(df: DataFrame, json_col: str, schema: JsonSchema) -> DataFrame:
+def schema_metrics(
+    df: DataFrame, json_col: str, schema: JsonSchema, round_dp: int | None = 6
+) -> DataFrame:
     """One-row metrics frame: the reference's F1/F2/F3 score formulas
-    (``DQReportGenerator.py:65,86,109``), Q7 included (F1 may exceed 1)."""
+    (``DQReportGenerator.py:65,86,109``), Q7 included (F1 may exceed 1).
+
+    ``round_dp=None`` leaves the scores unrounded — the reference's JSON
+    report emits the schema scores at full float precision (Q8,
+    ``DQReportGenerator.py:651,658,665``)."""
     d = validate(df, json_col, schema)
     n = F.count(F.lit(1))
     err = F.sum("v_err_any")
@@ -139,12 +195,16 @@ def schema_metrics(df: DataFrame, json_col: str, schema: JsonSchema) -> DataFram
     req = F.sum("v_req_err_cnt")
     miss = F.sum("v_missing_cnt")
     n_req = max(len(schema.required), 1)
+
+    def _r(c: Column) -> Column:
+        return F.round(c, round_dp) if round_dp is not None else c
+
     return d.agg(
         err.cast("long").alias("err_count"),
         add.cast("long").alias("add_err_count"),
         req.cast("long").alias("req_err_cnt"),
         miss.cast("long").alias("missing_cnt"),
-        F.round(F.lit(1.0) - (err - add - req) / n, 6).alias("format_score"),
-        F.round(F.lit(1.0) - add / n, 6).alias("unknown_score"),
-        F.round(F.lit(1.0) - miss / (n * n_req), 6).alias("completeness_score"),
+        _r(F.lit(1.0) - (err - add - req) / n).alias("format_score"),
+        _r(F.lit(1.0) - add / n).alias("unknown_score"),
+        _r(F.lit(1.0) - miss / (n * n_req)).alias("completeness_score"),
     )

@@ -64,6 +64,28 @@ CONTENT_WORDS: tuple[str, ...] = tuple(
 )
 ENGLISH_LEXICON = frozenset(STOPWORDS) | frozenset(CONTENT_WORDS)
 
+# shared word-id space: VOCAB = stopwords first (deduped, order-preserving),
+# then content words — the bigram LM (lm.py) and the langid evidence both
+# index into it, so one lowercase+lookup pass per document serves langid,
+# stopword_frac, AND perplexity (id < N_STOPWORDS <=> stopword;
+# id != VOCAB_UNK <=> in the English lexicon).
+VOCAB: tuple[str, ...] = tuple(dict.fromkeys(STOPWORDS + CONTENT_WORDS))
+VOCAB_INDEX: dict[str, int] = {w: i for i, w in enumerate(VOCAB)}
+VOCAB_UNK: int = len(VOCAB)
+N_STOPWORDS: int = len(STOPWORDS)
+
+
+def word_ids(tokens: list[str]):
+    """Lowercased VOCAB ids for a token list (VOCAB_UNK for OOV) as an
+    int64 numpy array — the shared substrate for langid + stopword_frac +
+    perplexity."""
+    import numpy as np
+
+    get = VOCAB_INDEX.get
+    return np.fromiter(
+        (get(w.lower(), VOCAB_UNK) for w in tokens), np.int64, len(tokens)
+    )
+
 # Unicode script ranges for the deterministic language identifier.
 SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
     "xx_cyr": ((0x0400, 0x04FF),),
@@ -151,40 +173,66 @@ def top_bigram_share(text: str, tokens: list[str] | None = None) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _char_in_ranges(cp: int, ranges: tuple[tuple[int, int], ...]) -> bool:
-    return any(lo <= cp <= hi for lo, hi in ranges)
+def _build_script_bounds():
+    """Flatten _LATIN + SCRIPT_RANGES into one sorted boundary array so a
+    single ``searchsorted`` + ``bincount`` classifies every codepoint —
+    2 numpy ops per doc instead of ~14 per-range mask passes (the ranges
+    are disjoint, so slot counts equal the per-range mask counts exactly)."""
+    import numpy as np
+
+    spans: list[tuple[int, int, str]] = [(lo, hi, "latin") for lo, hi in _LATIN]
+    for k, rngs in SCRIPT_RANGES.items():
+        spans.extend((lo, hi, k) for lo, hi in rngs)
+    spans.sort()
+    for (_, hi_a, _), (lo_b, _, _) in zip(spans, spans[1:]):
+        assert hi_a < lo_b, "script ranges must be disjoint"
+    bounds: list[int] = []
+    slot_label: dict[int, str] = {}
+    for lo, hi, label in spans:
+        bounds.extend((lo, hi + 1))  # [lo, hi] inclusive -> right-open hi+1
+        slot_label[len(bounds) - 1] = label  # odd slot = inside the range
+    return np.asarray(bounds, dtype=np.uint32), slot_label
 
 
-def lang_id(text: str, tokens: list[str] | None = None) -> tuple[str, float]:
+_SCRIPT_BOUNDS, _SLOT_LABEL = _build_script_bounds()
+
+
+def script_counts(text: str) -> tuple[int, dict[str, int]]:
+    """(latin_count, {script: count}) over the codepoint array."""
+    import numpy as np
+
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    idx = np.searchsorted(_SCRIPT_BOUNDS, cp, side="right")
+    c = np.bincount(idx, minlength=len(_SCRIPT_BOUNDS) + 1)
+    latin = 0
+    counts = {k: 0 for k in SCRIPT_RANGES}
+    for slot, label in _SLOT_LABEL.items():
+        v = int(c[slot]) if slot < len(c) else 0
+        if label == "latin":
+            latin += v
+        else:
+            counts[label] += v
+    return latin, counts
+
+
+def lang_id(
+    text: str, tokens: list[str] | None = None, ids=None
+) -> tuple[str, float]:
     """Return (lang, confidence) — a fastText-API-shaped stand-in.
 
     ``tokens``: pre-tokenized words (identical to ``tokenize(text)``) to
-    avoid re-splitting when the caller already has them.
+    avoid re-splitting when the caller already has them. ``ids``: the
+    ``word_ids(tokens)`` array, if the caller (the fused enrich kernel)
+    already built it for perplexity — saves the lowercase+lookup pass.
 
     fastText itself is unavailable offline (SURVEY.md §7.5); the loader
     seam in ``langid.py`` allows swapping real model weights in. The
     stand-in is fully deterministic: Unicode-script voting for non-Latin
     scripts, stopword-hit-rate evidence for English.
-
-    Script counting is vectorized over the codepoint array (a per-char
-    Python loop here was 89% of the whole annotate stage, profiled); the
-    ranges are disjoint so the masked counts equal the loop's counts
-    exactly.
     """
     if not text:
         return ("unk", 0.0)
-    import numpy as np
-
-    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
-    latin = 0
-    for lo, hi in _LATIN:
-        latin += int(((cp >= lo) & (cp <= hi)).sum())
-    counts = {}
-    for k, rngs in SCRIPT_RANGES.items():
-        c = 0
-        for lo, hi in rngs:
-            c += int(((cp >= lo) & (cp <= hi)).sum())
-        counts[k] = c
+    latin, counts = script_counts(text)
     letters = latin + sum(counts.values())
     if letters == 0:
         return ("unk", 0.0)
@@ -193,9 +241,12 @@ def lang_id(text: str, tokens: list[str] | None = None) -> tuple[str, float]:
     if frac >= 0.30:
         return (best_script, round(frac, 6))
     if latin / letters >= 0.50:
-        ws = tokens if tokens is not None else tokenize(text)
-        sf = sum(1 for w in ws if w.lower() in STOPWORD_SET) / len(ws) if ws else 0.0
-        iv = sum(1 for w in ws if w.lower() in ENGLISH_LEXICON) / len(ws) if ws else 0.0
+        if ids is None:
+            ws = tokens if tokens is not None else tokenize(text)
+            ids = word_ids(ws)
+        n = len(ids)
+        sf = int((ids < N_STOPWORDS).sum()) / n if n else 0.0
+        iv = int((ids != VOCAB_UNK).sum()) / n if n else 0.0
         conf = min(1.0, 0.6 * iv + 1.5 * sf + 0.05)
         if conf >= 0.20:
             return ("en", round(conf, 6))
@@ -239,17 +290,46 @@ _SCRUB_ORDER = (
 )
 
 
+_DIGIT_RE = re.compile(r"\d")
+
+
 def scrub_text(text: str) -> tuple[str, dict[str, int]]:
     """Replace PII/toxicity matches; return (scrubbed, per-rule counts).
 
     Idempotent: replacement tokens contain no digits/@/lexicon words, so a
     second pass matches nothing (property-tested).
+
+    Each pattern is gated by a NECESSARY cheap precondition (EMAIL needs a
+    literal '@', IP/PHONE need a digit, a slur needs its lowercase
+    substring) evaluated against the current text, so the expensive
+    backtracking patterns only run on documents that can match — the
+    result is identical to running every subn unconditionally (measured
+    ~3x on clean web text, which is the common case).
     """
     counts: dict[str, int] = {}
     out = text
-    for rule_id, pat, token in _SCRUB_ORDER:
-        out, n = pat.subn(token, out)
-        counts[rule_id] = n
+    # email
+    if "@" in out:
+        out, n = EMAIL_RE.subn(EMAIL_TOKEN, out)
+    else:
+        n = 0
+    counts["pii_email"] = n
+    # ip then phone (both need a digit; order frozen: ip before phone)
+    if _DIGIT_RE.search(out):
+        out, n = IPV4_RE.subn(IP_TOKEN, out)
+        counts["pii_ip"] = n
+        out, n = PHONE_RE.subn(PHONE_TOKEN, out)
+        counts["pii_phone"] = n
+    else:
+        counts["pii_ip"] = 0
+        counts["pii_phone"] = 0
+    # slur (word-bounded, case-insensitive)
+    low = out.lower()
+    if any(s in low for s in SLUR_LEXICON):
+        out, n = SLUR_RE.subn(SLUR_TOKEN, out)
+    else:
+        n = 0
+    counts["toxicity_slur"] = n
     return out, counts
 
 

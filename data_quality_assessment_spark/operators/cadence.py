@@ -66,9 +66,26 @@ def mode_smallest(df: DataFrame, value: str, group: list[str] | None = None) -> 
     return out.select(*group, F.col("_m.v").alias("mode"))
 
 
-def _join_stat(df: DataFrame, stat: DataFrame, group: list[str]) -> DataFrame:
+def _join_stat(
+    df: DataFrame, stat: DataFrame, group: list[str],
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Join per-group stats (one row per group) back onto the rows.
+
+    ``broadcast=None`` (default): NO static hint — the stat side is the
+    output of an aggregation whose cardinality equals the group count,
+    which the driver cannot know; at CC scale hosts ~ 10^8 rows and an
+    unconditional broadcast OOMs the executors (VERDICT r1). AQE sees the
+    stat side's ACTUAL size at runtime and converts to broadcast-hash
+    when it is under ``spark.sql.autoBroadcastJoinThreshold``, else keeps
+    a shuffled join with skew splitting — the size gate for free, at the
+    right place. ``broadcast=True`` forces the hint for sides the caller
+    KNOWS are small. The global (no-group) case is one row by
+    construction and always broadcasts.
+    """
     if group:
-        return df.join(F.broadcast(stat), group)
+        s = F.broadcast(stat) if broadcast else stat
+        return df.join(s, group)
     return df.crossJoin(F.broadcast(stat))
 
 

@@ -47,9 +47,11 @@ def dedup_pages(df: DataFrame, keys: tuple[str, ...] = ("url", "warc_ts")) -> Da
 
 def drop_rules(cfg: PipelineConfig) -> list[tuple[str, Column]]:
     th = cfg.thresholds
-    txt = F.col("text_extracted")
     return [
-        ("text_blank", ts.is_blank(txt)),
+        # blank <=> zero tokens (null / empty / whitespace-only text all
+        # tokenize to []), so the rule reads the kernel's nw instead of
+        # re-scanning the text in the JVM
+        ("text_blank", F.col("nw") == 0),
         ("ts_null", F.col("warc_ts").isNull()),
         ("too_short", F.col("nw") < th.min_words),
         ("too_long", F.col("nw") > th.max_words),
@@ -102,28 +104,26 @@ def _fired_array(rules: list[tuple[str, Column]]) -> Column:
 
 
 def annotate(df: DataFrame) -> DataFrame:
-    """The single fused UDF pass + native stats. Adds: text_extracted,
-    lang_pred, lang_conf, ppl, top_bigram_share, scrubbed_text, PII/slur
-    counts, nw, mean_wl, symbol_ratio, stopword_frac, dup_line_frac,
-    host. One ArrowEvalPython node — see udfs.enrich_udf for why fusing
-    (not chaining) the scrub stage matters."""
+    """The single fused UDF pass. Adds: lang_pred, lang_conf, ppl,
+    top_bigram_share, scrubbed_text, PII/slur counts, nw, mean_wl,
+    symbol_ratio, stopword_frac, dup_line_frac (all from the ONE
+    ArrowEvalPython node — see udfs.enrich_udf / functions/kernel.py),
+    plus host (native substring_index on the url). The JVM side of this
+    stage is just scan + Arrow transport + the host projection, so task
+    threads spend their time feeding Python workers instead of competing
+    with them for cores.
+
+    The text column is nulled out when html is present (extraction
+    precedence means the kernel would ignore it anyway), so page content
+    crosses the JVM->Python boundary once, not twice."""
     from ..functions.udfs import enrich_udf
 
-    ann = enrich_udf(F.col("html"), F.col("text"))
-    df = df.withColumn("_ann", ann).select("*", "_ann.*").drop("_ann")
-    txt = F.col("text_extracted")
-    return (
-        df.withColumn("nw", ts.n_words(txt))
-        .withColumn("mean_wl", ts.mean_word_len(txt))
-        .withColumn("symbol_ratio", ts.symbol_word_ratio(txt))
-        .withColumn("stopword_frac", ts.stopword_frac(txt))
-        # lines array materialized once: dup_line_frac references it 3x,
-        # and HOF subtrees re-evaluate per reference (CodegenFallback)
-        .withColumn("_lines", ts.lines(txt))
-        .withColumn("dup_line_frac", ts.dup_line_frac_of(F.col("_lines")))
-        .drop("_lines")
-        .withColumn("host", ts.host_of(F.col("url")))
+    ann = enrich_udf(
+        F.col("html"),
+        F.when(F.col("html").isNull(), F.col("text")),
     )
+    df = df.withColumn("_ann", ann).select("*", "_ann.*").drop("_ann")
+    return df.withColumn("host", ts.host_of(F.col("url")))
 
 
 def scrub(df: DataFrame) -> DataFrame:
@@ -155,10 +155,37 @@ def run_pipeline(
     df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG, *, dedup: bool = True
 ) -> DataFrame:
     """Full per-document DAG over a pages DataFrame
-    (url, warc_ts, html, text, lang [, props_json])."""
+    (url, warc_ts, html, text, lang [, props_json]).
+
+    Stage order is ANNOTATE-FIRST, then dedup: the fused UDF runs inside
+    the scan stage, and because nothing downstream reads html/text
+    anymore, Catalyst prunes both from the dedup exchange — only the
+    computed columns plus a 32-char md5 tiebreak shuffle (~half the
+    bytes of shuffling raw page content). Results are identical to
+    dedup-first: the winner per (url, warc_ts) is picked by the same
+    content-md5 order and annotations are deterministic per row. The
+    trade is annotating exact-duplicate rows before dropping them —
+    right when exact (url, warc_ts) dups are the rare case; for inputs
+    with heavy exact duplication, dedup separately first
+    (``dedup_pages``) and call with ``dedup=False``.
+    """
     if dedup:
-        df = dedup_pages(df, cfg.dedup_keys)
-    return verdict(scrub(annotate(df)), cfg)
+        # content tiebreak materialized BEFORE annotate so the window
+        # sort key shuffles as 32 chars instead of dragging `text`
+        # through the exchange (D2 determinism, SURVEY.md §2.3)
+        tb = F.md5(F.coalesce(F.col("text"), F.lit("")))
+        df = annotate(df.withColumn("_tb", tb))
+        w = Window.partitionBy(*cfg.dedup_keys).orderBy(
+            F.col("_tb").asc(), F.coalesce(F.col("lang"), F.lit("")).asc()
+        )
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_tb")
+        )
+    else:
+        df = annotate(df)
+    return verdict(scrub(df), cfg)
 
 
 def host_cadence(pages: DataFrame) -> DataFrame:

@@ -66,8 +66,12 @@ def six_metric_report(
         ).alias("dupe")
     )
 
-    # --- dedup then IAT (global order, Q1)
-    w = Window.partitionBy(entity, "_ts").orderBy(F.monotonically_increasing_id())
+    # --- dedup then IAT (global order, Q1). Winner within a (entity, ts)
+    # group is interchangeable for the IAT metrics, but the tiebreak must
+    # be DETERMINISTIC across runs/repartitionings (D2) — md5 of the full
+    # row content, never monotonically_increasing_id.
+    tiebreak = F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+    w = Window.partitionBy(entity, "_ts").orderBy(tiebreak)
     dd = d.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
     iat = cadence.with_iat(dd, entity, "_ts", global_order=True)
     clean = iat.filter(F.col("iat").isNotNull()).select("iat")
@@ -110,6 +114,77 @@ def six_metric_report(
         .crossJoin(out_df)
         .crossJoin(schema_df)
     )
+    avg = F.round(
+        (
+            F.col("dupe") + F.col("regularity") + F.col("outliers")
+            + F.col("format_adherence") + F.col("unknown_absence")
+            + F.col("completeness")
+        ) / 6,
+        3,
+    )
+    return row.withColumn("avg_score", avg)
+
+
+def reference_report(
+    spark,
+    data_path: str,
+    schema_path: str,
+    entity: str,
+    ts: str = "observationDateTime",
+) -> DataFrame:
+    """The FULL reference EP1 over an actual reference-format dataset:
+    JSON-array packets + JSON-Schema file -> one-row DataFrame with the
+    exact fields of ``outputReports/*_Report.json``.
+
+    Pipeline (mirroring ``DQReportGenerator.py:13-162``):
+      * typed read (``ingest.read_packets_json``) -> dupe/IAT metrics
+        with the config's (entity, observationDateTime) keys; dupe on the
+        RAW frame (Q9), dedup -> global-order IAT (Q1) -> regularity (A8)
+        + one-sided mode-MAD outliers (A7), rounded 3dp (Q8);
+      * raw read (``ingest.read_packets_raw``) -> JSON-Schema rule engine
+        (``schema_rules``) with ``additionalProperties=False`` (the
+        reference's mutation at ``DQReportGenerator.py:58``) -> format /
+        unknown / completeness scores, UNROUNDED (Q8: the JSON report
+        emits them at full precision);
+      * avg = round(mean of the six, 3);
+      * start/end time: min/max of the tz-STRIPPED local timestamp
+        (``PreProcessing.py:69-75`` strips the offset, so the report
+        shows sensor-local wall clock).
+
+    Asserted equal to both shipped golden reports by
+    ``tests/test_golden_reference.py``.
+    """
+    import json
+
+    from ..functions import schema_rules
+    from ..sources import ingest
+
+    typed = ingest.read_packets_json(spark, data_path)
+    raw = ingest.read_packets_raw(spark, data_path)
+    with open(schema_path) as f:
+        schema_dict = json.load(f)
+    schema_dict["additionalProperties"] = False
+    schema = schema_rules.JsonSchema.from_dict(schema_dict)
+
+    iat_part = six_metric_report(
+        typed.select(entity, ts), entity=entity, ts=ts, required=[entity, ts]
+    ).select("dupe", "regularity", "outliers")
+    schema_part = schema_rules.schema_metrics(
+        raw, "raw", schema, round_dp=None
+    ).select(
+        F.col("format_score").alias("format_adherence"),
+        F.col("unknown_score").alias("unknown_absence"),
+        F.col("completeness_score").alias("completeness"),
+    )
+    # local wall-clock range (offset textually stripped, as the reference
+    # strips tz after parsing)
+    local_ts = F.to_timestamp(F.substring(F.col(ts), 1, 19))
+    range_part = typed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_packets"),
+        F.date_format(F.min(local_ts), "yyyy-MM-dd HH:mm:ss").alias("start_time"),
+        F.date_format(F.max(local_ts), "yyyy-MM-dd HH:mm:ss").alias("end_time"),
+    )
+    row = range_part.crossJoin(iat_part).crossJoin(schema_part)
     avg = F.round(
         (
             F.col("dupe") + F.col("regularity") + F.col("outliers")

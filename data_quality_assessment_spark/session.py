@@ -36,10 +36,12 @@ def get_spark(
         # starving the ArrowEvalPython stage (irrelevant at TB scale, where
         # partitions are fat; harmless there)
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-        # smaller input splits: the scan stage feeds CPU-heavy downstream
-        # work (window partial + Arrow UDFs), so a 128MB-split scan of a
-        # few-hundred-MB input serializes the first stage on small hosts
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # NOTE: spark.sql.files.maxPartitionBytes stays at Spark's 128m
+        # default — at 100 TB that is ~800k scan tasks, the right size.
+        # Small-corpus benches must instead pass a split size matched to
+        # their input via extra_conf (bench.py sizes it for ~4 splits per
+        # core) — baking a small value here would silently explode the
+        # task count for every production caller (ADVICE r1).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -46,3 +46,28 @@ def read_packets_json(
     JSON-Lines, then flatten nested objects to dotted columns."""
     reader = spark.read.option("multiLine", "true") if array_file else spark.read
     return flatten_structs(reader.json(path))
+
+
+def read_packets_raw(
+    spark: SparkSession, path: str, *, array_file: bool = True
+) -> DataFrame:
+    """Read packets as RAW JSON strings (column ``raw``) — the input the
+    schema rule engine needs, since a typed read cannot distinguish a JSON
+    null from an absent key (V3, ``metricModules.py:160-165``).
+
+    JSON-Lines (the scale path): ``spark.read.text`` — splittable, one
+    record per line. JSON-array files (the reference's wire format) are
+    unsplittable single-task reads anyway (S1), so they are parsed on the
+    driver and re-serialized per record with ``json.dumps`` (preserves
+    null-vs-absent and key order); fine at config scale, convert to
+    JSONL/parquet for bulk data.
+    """
+    if not array_file:
+        return spark.read.text(path).withColumnRenamed("value", "raw")
+    import json
+
+    with open(path) as f:
+        records = json.load(f)
+    return spark.createDataFrame(
+        [(json.dumps(r),) for r in records], schema="raw string"
+    )

@@ -77,9 +77,13 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path, pages_path):
         spark.sql("DROP TABLE IF EXISTS b_stats")
 
 
-def test_host_stats_join_is_broadcast(spark, pages_path):
-    """Per-host stats joined back to rows must broadcast the stats side
-    (SURVEY.md §2.11 join #2)."""
+def test_host_stats_join_is_size_gated(spark, pages_path):
+    """Per-host stats joined back to rows must NOT be statically
+    broadcast (SURVEY.md §2.11 join #2: hosts can be ~10^8 at CC scale;
+    VERDICT r1 "What's wrong" #1). Default: no hint — the static plan
+    keeps a shuffled join (survives any cardinality) and AQE converts to
+    broadcast-hash at runtime when the aggregated side is actually small.
+    """
     from data_quality_assessment_spark.operators import cadence
     from pyspark.sql import functions as F
 
@@ -88,5 +92,32 @@ def test_host_stats_join_is_broadcast(spark, pages_path):
     )
     iat = cadence.with_iat(df, "host", "warc_ts")
     score = cadence.regularity_score(iat, "iat", ["host"])
-    plan = _plan(score)
+    # with the size threshold disabled, only a FORCED broadcast hint could
+    # still produce a broadcast join — its absence proves the join is
+    # size-driven (estimates statically, actual sizes via AQE at runtime),
+    # i.e. it degrades to a shuffled join at 10^8-host cardinality
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(score)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # with defaults, the small stat side broadcasts (statically or via AQE)
+    score.collect()
+    final = score._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final
+
+
+def test_join_stat_forced_broadcast_hint(spark, pages_path):
+    """broadcast=True keeps the static hint for caller-known-small dims."""
+    from data_quality_assessment_spark.operators import cadence
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(pages_path).withColumn(
+        "host", F.substring_index(F.substring_index("url", "://", -1), "/", 1)
+    )
+    stat = df.groupBy("host").count()
+    j = cadence._join_stat(df, stat, ["host"], broadcast=True)
+    plan = _plan(j)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
