@@ -998,7 +998,25 @@ def q_six_metric_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SIX_METRICS = """
+def q_six_metric_report_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE-mode six-metric report: per-entity partitioned IAT lag (Q1
+    off) — no single-partition WindowExec anywhere in the plan, so the
+    same report runs at any entity cardinality. Registered separately
+    from the parity-mode query; both are oracle-checked."""
+    from data_quality_assessment_spark.plans import report
+
+    e = _load(spark, sf_dir, "events")
+    return report.six_metric_report(
+        e,
+        entity="user_id",
+        ts="ts",
+        required=["user_id", "ts", "event_type", "value"],
+        known=["event_id", "ts", "user_id", "event_type", "value"],
+        global_order=False,
+    )
+
+
+_SIX_METRICS_TEMPLATE = """
 WITH dupe AS (
   SELECT round(1.0 - (sum(c) - count(*))::DOUBLE / sum(c), 3) AS dupe
   FROM (SELECT count(*) AS c FROM events GROUP BY user_id, ts)
@@ -1011,7 +1029,7 @@ dd AS (
 ),
 iat AS (
   SELECT date_diff('microsecond',
-                   lag(ts) OVER (ORDER BY user_id, ts), ts) / 1000000.0 AS v
+                   lag(ts) OVER ({lag_window}), ts) / 1000000.0 AS v
   FROM dd
 ),
 clean AS (SELECT v FROM iat WHERE v IS NOT NULL AND v >= 0),
@@ -1059,6 +1077,13 @@ SELECT dupe.dupe, reg.regularity, outl.outliers, sch.format_adherence,
          + sch.unknown_absence + sch.completeness) / 6, 3) AS avg_score
 FROM dupe, reg, outl, sch
 """
+
+ORACLE_SIX_METRICS = _SIX_METRICS_TEMPLATE.format(
+    lag_window="ORDER BY user_id, ts"
+)
+ORACLE_SIX_METRICS_SCALE = _SIX_METRICS_TEMPLATE.format(
+    lag_window="PARTITION BY user_id ORDER BY ts"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1484,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "schema_validation": q_schema_validation,
         "six_metric_report": q_six_metric_report,
+        "six_metric_report_scale": q_six_metric_report_scale,
         "value_moments": q_value_moments,
         "iat_outliers_median": q_iat_outliers_median,
         "iqr_fences": q_iqr_fences,
@@ -1524,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_near_dup": ORACLE_COSINE_NEAR_DUP,
         "schema_validation": ORACLE_SCHEMA_VALIDATION,
         "six_metric_report": ORACLE_SIX_METRICS,
+        "six_metric_report_scale": ORACLE_SIX_METRICS_SCALE,
         "value_moments": ORACLE_VALUE_MOMENTS,
         "iat_outliers_median": ORACLE_IAT_OUT_MED,
         "iqr_fences": ORACLE_IQR,

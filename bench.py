@@ -27,13 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 1M default: the pipeline's fixed per-job overhead (~4s of stage
+# 2M default: the pipeline's fixed per-job overhead (~2-3s of stage
 # barriers + commit) is constant w.r.t. corpus size, so scaling
 # efficiency at small corpora measures the overhead, not the plan —
-# 1M docs puts >=80% of the wall in proportional work at both levels
-# while keeping the whole bench under ~8 min. Seed-deterministic at any
-# size via SPARK_GRAFT_BENCH_DOCS.
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+# measured eff 0.44 @ 400k -> 0.61 @ 1M as the overhead share shrinks.
+# 2M keeps the whole bench under ~8 min with the corpus cached
+# (.bench_cache survives rounds; gen is a one-time ~6 min).
+# Seed-deterministic at any size via SPARK_GRAFT_BENCH_DOCS.
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache", f"pages_v3_{N_DOCS}")
@@ -160,11 +161,20 @@ def run_pipeline_once(
         run_pipeline,
     )
 
+    split = _split_bytes(corpus)
     spark = get_spark(
         app_name=f"bench-pipeline-{master_cores}",
         master=f"local[{master_cores}]",
         shuffle_partitions=max(32, master_cores),
-        extra_conf={"spark.sql.files.maxPartitionBytes": _split_bytes(corpus)},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": split,
+            # keep the post-dedup stage (window+verdict+write) at full
+            # parallelism: the default 64m advisory coalesces this
+            # corpus's ~450MB shuffle to ~7 tasks — 22% utilization at
+            # 32 cores (measured +25% wall). Same scale-aware size as
+            # the scan splits.
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": split,
+        },
     )
     try:
         df = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
@@ -240,7 +250,12 @@ def main() -> None:
 
     # --- operator queries at SF_DIR
     spark = get_spark("bench-queries", master=f"local[{CPUS}]",
-                      shuffle_partitions=CPUS)
+                      shuffle_partitions=CPUS,
+                      extra_conf={
+                          # sf tables are single small files; split fine so
+                          # UDF-bearing scans use more than one core
+                          "spark.sql.files.maxPartitionBytes": str(1 << 20),
+                      })
     qs = entrymod.queries()
     try:
         for item in BENCH_QUERIES:

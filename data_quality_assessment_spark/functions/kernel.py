@@ -51,6 +51,9 @@ def enrich_batch(htmls, texts) -> dict[str, list]:
     ``pd.DataFrame`` without a row->column transpose.
     """
     model = get_model()  # per-worker singleton
+    # the frozen BigramLM scores straight from the shared ids array; a
+    # swapped-in real LM (model_loaders.ArpaLM) scores from the tokens
+    use_ids = hasattr(model, "perplexity_ids")
     out: dict[str, list] = {k: [] for k in ENRICH_COLS}
     ap = {k: out[k].append for k in ENRICH_COLS}
     n_stop = textcore.N_STOPWORDS
@@ -69,7 +72,10 @@ def enrich_batch(htmls, texts) -> dict[str, list]:
         scrubbed, c = textcore.scrub_text(txt)
         ap["lang_pred"](lang)
         ap["lang_conf"](conf)
-        ap["ppl"](model.perplexity_ids(ids))
+        ap["ppl"](
+            model.perplexity_ids(ids) if use_ids
+            else model.perplexity(txt, toks)
+        )
         ap["top_bigram_share"](textcore.top_bigram_share(txt, toks))
         ap["scrubbed_text"](scrubbed)
         ap["pii_email"](c["pii_email"])

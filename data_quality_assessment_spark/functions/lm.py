@@ -176,10 +176,27 @@ class BigramLM:
 
 
 _MODEL: BigramLM | None = None
+_ARPA_CACHE: dict = {}
 
 
-def get_model() -> BigramLM:
-    """Per-process singleton — loaded once per executor Python worker."""
+def get_model(arpa_path: str | None = None):
+    """Per-process singleton — loaded once per executor Python worker.
+
+    Loader seam (VERDICT r1 next #8): with ``arpa_path`` (or the
+    ``DQ_SPARK_LM_ARPA`` env var) set, returns a real ARPA-backed model
+    (``model_loaders.ArpaLM``, same ``perplexity`` API) instead of the
+    frozen synthetic bigram LM; ship the file to executors via
+    ``SparkContext.addFile`` and set the env var in
+    ``spark.executorEnv``."""
+    import os
+
+    path = arpa_path or os.environ.get("DQ_SPARK_LM_ARPA")
+    if path:
+        if path not in _ARPA_CACHE:
+            from .model_loaders import load_arpa
+
+            _ARPA_CACHE[path] = load_arpa(path)
+        return _ARPA_CACHE[path]
     global _MODEL
     if _MODEL is None:
         _MODEL = BigramLM()

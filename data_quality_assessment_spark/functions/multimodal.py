@@ -68,11 +68,24 @@ def encode_fake_audio(rate: int, n: int, payload: bytes = b"") -> bytes:
     return AUD_MAGIC + struct.pack(">II", rate, n) + payload
 
 
+try:  # real codec, used when available — not shipped in this container
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
+
+
 def _decode_image(blob: bytes) -> tuple[int, int]:
-    """Seam: returns (width, height). Real codecs (PIL/opencv) plug in
-    here; only the deterministic FAKE container decodes in-sandbox."""
+    """Seam: returns (width, height). The deterministic FAKE container
+    always decodes; real formats go through PIL when it is installed
+    (optional import), else raise NotImplementedError — both paths are
+    unit-tested (tests/test_model_loaders.py)."""
     if blob[:8] == IMG_MAGIC:
         return struct.unpack(">HH", blob[8:12])
+    if _PILImage is not None:
+        import io
+
+        with _PILImage.open(io.BytesIO(blob)) as im:
+            return im.size
     raise NotImplementedError(
         "real image codecs unavailable in this container (PIL/cv2); "
         "only the FAKEIMG1 container decodes here"
@@ -99,7 +112,7 @@ def image_metadata(df: DataFrame) -> DataFrame:
                 try:
                     w, h = _decode_image(bytes(blob))
                     rows.append((mid, w, h, len(blob), True))
-                except (NotImplementedError, Exception):  # noqa: BLE001
+                except Exception:  # noqa: BLE001 — invalid blob => row, not task failure
                     rows.append((mid, None, None,
                                  len(blob) if blob is not None else 0, False))
             yield pd.DataFrame(
@@ -143,7 +156,7 @@ def audio_metadata(df: DataFrame) -> DataFrame:
                     rows.append(
                         (mid, rate, n, round(n / rate, 6) if rate else None, True)
                     )
-                except (NotImplementedError, Exception):  # noqa: BLE001
+                except Exception:  # noqa: BLE001 — invalid blob => row, not task failure
                     rows.append((mid, None, None, None, False))
             yield pd.DataFrame(
                 rows,

@@ -75,10 +75,15 @@ def dup_count_metric(df: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
-def dedup_exact(df: DataFrame, keys: list[str], tiebreak: Column) -> DataFrame:
+def dedup_exact(
+    df: DataFrame, keys: list[str], tiebreak: Column | list[Column]
+) -> DataFrame:
     """D2 with a deterministic winner (reference keeps first-in-file-order,
-    which is nondeterministic under distribution — SURVEY.md §2.3)."""
-    w = Window.partitionBy(*keys).orderBy(tiebreak)
+    which is nondeterministic under distribution — SURVEY.md §2.3). The
+    single row_number-dedup implementation — pipeline.dedup_pages and the
+    report path both route here."""
+    order = tiebreak if isinstance(tiebreak, list) else [tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -70,12 +70,21 @@ def hot_keys(
 
 
 def salted_repartition(
-    df: DataFrame, key: str, num_partitions: int, buckets: int = 16
+    df: DataFrame, key: str, num_partitions: int, buckets: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Repartition by (key, salt) so a hot key's rows spread over
     ``buckets`` partitions instead of one — the explicit form of the
     north_star's "repartition by url-hash with salting for skewed
-    hosts" for downstream per-partition work that groups by key."""
-    return df.repartition(
-        num_partitions, F.col(key), salt_of(F.monotonically_increasing_id(), buckets)
-    )
+    hosts" for downstream per-partition work that groups by key.
+
+    The salt MUST be deterministic row content, never
+    ``monotonically_increasing_id``/``rand``: on a stage retry after a
+    fetch failure the recomputed nondeterministic mapping differs and
+    rows are duplicated or lost (the SPARK-23207 class of bug) —
+    precisely at the cluster scale this utility targets. Default salt:
+    hash of ALL the row's columns (``salt_cols`` narrows it when the
+    caller knows a cheaper row-unique subset)."""
+    cols = salt_cols if salt_cols is not None else df.columns
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets)).cast("int")
+    return df.repartition(num_partitions, F.col(key), salt)

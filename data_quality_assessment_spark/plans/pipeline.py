@@ -1,22 +1,25 @@
-"""The flagship quality DAG: dedup → annotate → rules → scrub → verdict.
+"""The flagship quality DAG: annotate → dedup → rules → verdict.
 
 Reimagines the reference's linear report pipeline
 (``/root/reference/scripts/DQReportGenerator.py:13-162``, SURVEY.md §3 EP1)
 as one lazy DataFrame plan:
 
-    scan pages → deterministic dedup (url, warc_ts)
-               → ArrowEvalPython [extract + langid + ppl + repetition]
-               → native-Column heuristic rules (whole-stage codegen)
-               → ArrowEvalPython [PII/toxicity scrub]
+    scan pages → ArrowEvalPython [fused kernel: extract + langid + ppl +
+                 repetition + text stats + PII/toxicity scrub]
+               → deterministic dedup (url, warc_ts) — the one shuffle,
+                 carrying computed columns + an md5 tiebreak, never the
+                 raw page content (pruned by Catalyst)
                → rules_fired lineage array + keep verdict + quality_score
+                 (whole-stage codegen over the kernel's stats columns)
 
-Expected physical plan (SURVEY.md §4): one shuffle (dedup window), two
-Python boundaries, everything else codegen'd.
+Physical plan (pinned by tests/test_plan_shape.py): ONE Python boundary,
+ONE exchange, WindowGroupLimit partial pre-pruning the dedup groups
+map-side, everything else codegen'd.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig, DEFAULT_CONFIG
@@ -30,12 +33,15 @@ from ..functions.udfs import annotate_udf, scrub_udf
 
 
 def dedup_pages(df: DataFrame, keys: tuple[str, ...] = ("url", "warc_ts")) -> DataFrame:
-    tiebreak = F.md5(F.coalesce(F.col("text"), F.lit("")))
-    w = Window.partitionBy(*keys).orderBy(tiebreak.asc(), F.coalesce(F.col("lang"), F.lit("")).asc())
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    from ..operators.dedup import dedup_exact
+
+    return dedup_exact(
+        df,
+        list(keys),
+        [
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).asc(),
+            F.coalesce(F.col("lang"), F.lit("")).asc(),
+        ],
     )
 
 
@@ -173,16 +179,15 @@ def run_pipeline(
         # content tiebreak materialized BEFORE annotate so the window
         # sort key shuffles as 32 chars instead of dragging `text`
         # through the exchange (D2 determinism, SURVEY.md §2.3)
+        from ..operators.dedup import dedup_exact
+
         tb = F.md5(F.coalesce(F.col("text"), F.lit("")))
         df = annotate(df.withColumn("_tb", tb))
-        w = Window.partitionBy(*cfg.dedup_keys).orderBy(
-            F.col("_tb").asc(), F.coalesce(F.col("lang"), F.lit("")).asc()
-        )
-        df = (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_tb")
-        )
+        df = dedup_exact(
+            df,
+            list(cfg.dedup_keys),
+            [F.col("_tb").asc(), F.coalesce(F.col("lang"), F.lit("")).asc()],
+        ).drop("_tb")
     else:
         df = annotate(df)
     return verdict(scrub(df), cfg)

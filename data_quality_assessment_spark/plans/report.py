@@ -48,11 +48,20 @@ def six_metric_report(
     ts: str = "observationDateTime",
     required: list[str] | None = None,
     known: list[str] | None = None,
+    global_order: bool = True,
 ) -> DataFrame:
     """One-row DataFrame with the six scores + avg (reference F1-F7).
 
     ``ts`` may be a string column (ISO-8601 with offset, the reference's
     wire format) or a timestamp; it is parsed with to_timestamp.
+
+    ``global_order=True`` is PARITY mode: the IAT lag runs over the
+    single global (entity, ts) order, reproducing the reference's quirk
+    Q1 (the diff that crosses entity boundaries) — one unpartitioned
+    window, fixture-scale only. ``global_order=False`` is SCALE mode:
+    the lag partitions by entity (per SURVEY.md §2.9 Q1, validated by
+    keep/drop F1 rather than equality), so the plan has no
+    single-partition WindowExec and holds at any cardinality.
     """
     required = required or [entity, ts, "payload_str", "payload_num"]
     known = known or required
@@ -73,7 +82,7 @@ def six_metric_report(
     tiebreak = F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
     w = Window.partitionBy(entity, "_ts").orderBy(tiebreak)
     dd = d.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
-    iat = cadence.with_iat(dd, entity, "_ts", global_order=True)
+    iat = cadence.with_iat(dd, entity, "_ts", global_order=global_order)
     clean = iat.filter(F.col("iat").isNotNull()).select("iat")
 
     reg_df = cadence.regularity_score(clean, "iat").select(

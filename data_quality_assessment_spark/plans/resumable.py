@@ -15,8 +15,9 @@ public Spark primitives:
      duplicated, so "checkpoint row written last" makes the whole unit
      transactional at the directory level.
 
-Tables written per run (all keyed by part_id so a 1000-executor job
-appends small metadata, never driver-side state):
+Tables written per run (all keyed by part_id, all written with
+partition-overwrite so a crashed unit is REPLACED on resume — the
+checkpoint row, written last, is the only append):
 
   * ``pages_out``   — the verdict+scrub output, partitioned by part_id
   * ``lineage``     — one row per (part_id, rule_id): fire counts
@@ -114,19 +115,21 @@ def run_resumable(
     if pending.isEmpty():
         return {"parts_done_prior": len(done_ids), "parts_run": 0}
 
-    out = pipeline.verdict(
-        pipeline.scrub(pipeline.annotate(
-            pipeline.dedup_pages(pending, cfg.dedup_keys) if dedup else pending
-        )),
-        cfg,
-    ).select("part_id", *pipeline.OUTPUT_COLUMNS)
+    out = pipeline.run_pipeline(pending, cfg, dedup=dedup).select(
+        "part_id", *pipeline.OUTPUT_COLUMNS
+    )
 
     # cache: pages_out write + lineage + metrics + checkpoint all read it
     out = out.persist()
     try:
+        # every table before the checkpoint row uses partition OVERWRITE
+        # keyed by part_id: a crash between any of these writes and the
+        # checkpoint append means the resumed run REPLACES the partial
+        # partitions instead of double-appending lineage/metrics rows
+        # (which would double-count fire counts and doc totals downstream)
         wh.overwrite_partitions(out, PAGES_OUT, ["part_id"])
-        wh.append(lineage_rows(out), LINEAGE)
-        wh.append(metrics_rows(out), METRICS)
+        wh.overwrite_partitions(lineage_rows(out), LINEAGE, ["part_id"])
+        wh.overwrite_partitions(metrics_rows(out), METRICS, ["part_id"])
         ck = (
             out.select("part_id")
             .distinct()

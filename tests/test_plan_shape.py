@@ -109,6 +109,44 @@ def test_host_stats_join_is_size_gated(spark, pages_path):
     assert "BroadcastHashJoin" in final, final
 
 
+def test_scale_mode_six_metric_has_no_global_window(spark, pages_path):
+    """Scale-mode report (global_order=False): every window is
+    partitioned — no `WindowExec: No Partition Defined` hazard (VERDICT
+    r1 next #6). Parity mode keeps the deliberate global lag (Q1)."""
+    from pyspark.sql import functions as F
+
+    from data_quality_assessment_spark.plans import report
+
+    df = spark.read.parquet(pages_path).select(
+        F.substring_index(F.substring_index("url", "://", -1), "/", 1)
+        .alias("entity_id"),
+        F.col("warc_ts").alias("observationDateTime"),
+    )
+    import re
+
+    def n_global_windows(plan: str) -> int:
+        # a PARTITIONED windowspecdefinition leads with bare partition
+        # columns; a GLOBAL one starts straight with sort specs (ASC/DESC)
+        n = 0
+        for m in re.finditer(r"windowspecdefinition\(([^()]*)", plan):
+            first = m.group(1).split(",")[0]
+            if " ASC" in first or " DESC" in first:
+                n += 1
+        return n
+
+    scale = report.six_metric_report(df, required=["entity_id",
+                                                   "observationDateTime"],
+                                     global_order=False)
+    assert n_global_windows(_plan(scale)) == 0, _plan(scale)
+    parity = report.six_metric_report(df, required=["entity_id",
+                                                    "observationDateTime"],
+                                      global_order=True)
+    # parity mode deliberately keeps the one global lag window (Q1)
+    assert n_global_windows(_plan(parity)) >= 1
+    assert scale.columns == parity.columns
+    assert scale.count() == 1
+
+
 def test_join_stat_forced_broadcast_hint(spark, pages_path):
     """broadcast=True keeps the static hint for caller-known-small dims."""
     from data_quality_assessment_spark.operators import cadence

@@ -80,3 +80,44 @@ def test_rerun_is_idempotent(spark, tmp_path, pages):
     res = resumable.run_resumable(spark, pages, wh, num_parts=N_PARTS)
     assert res["parts_run"] == 0
     assert _sorted_rows(wh.read(resumable.PAGES_OUT)) == first
+
+
+def test_crash_before_checkpoint_replaces_not_duplicates(spark, tmp_path, pages):
+    """Crash simulation (VERDICT r1 next #10 + ADVICE #1): pages_out,
+    lineage, and metrics written for some partitions but the run dies
+    BEFORE the checkpoint append. The resumed run must replace those
+    partial partitions — identical final tables to a cold run, no
+    double-counted lineage/metrics."""
+    wh = Warehouse(spark, str(tmp_path / "crash"))
+    cfg = DEFAULT_CONFIG
+    keyed = resumable.with_part_id(pages, N_PARTS)
+
+    # partial run over parts {0,1}: write every table EXCEPT checkpoint
+    partial = keyed.filter(F.col("part_id") < 2)
+    from data_quality_assessment_spark.plans import pipeline
+
+    out = pipeline.run_pipeline(partial, cfg).select(
+        "part_id", *pipeline.OUTPUT_COLUMNS
+    )
+    wh.overwrite_partitions(out, resumable.PAGES_OUT, ["part_id"])
+    wh.overwrite_partitions(
+        resumable.lineage_rows(out), resumable.LINEAGE, ["part_id"]
+    )
+    wh.overwrite_partitions(
+        resumable.metrics_rows(out), resumable.METRICS, ["part_id"]
+    )
+    # no checkpoint row -> resume must recompute parts 0-1 and REPLACE
+
+    res = resumable.run_resumable(spark, pages, wh, num_parts=N_PARTS)
+    assert res["parts_done_prior"] == 0
+
+    cold_wh = Warehouse(spark, str(tmp_path / "cold2"))
+    resumable.run_resumable(spark, pages, cold_wh, num_parts=N_PARTS)
+
+    assert _sorted_rows(wh.read(resumable.PAGES_OUT)) == _sorted_rows(
+        cold_wh.read(resumable.PAGES_OUT)
+    )
+    for table in (resumable.LINEAGE, resumable.METRICS):
+        got = sorted(tuple(r) for r in wh.read(table).collect())
+        want = sorted(tuple(r) for r in cold_wh.read(table).collect())
+        assert got == want, table
