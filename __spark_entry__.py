@@ -1171,6 +1171,94 @@ SELECT q_id, vec_id, round(cos_exact, 4) AS cos, rank FROM (
 """
 
 
+_IVF_CENTROIDS = 16
+_IVF_NPROBE = 4
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (deterministic coarse codebook -> cell equi-join ->
+    exact rerank) — the inverted-file scale path beside the LSH one; the
+    oracle re-derives the identical cells/probes from the same md5
+    codebook."""
+    from data_quality_assessment_spark.operators import similarity as sim
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = (
+        e.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    out = sim.ivf_topk(
+        e, q, dim=_LSH_DIM, k=5,
+        n_centroids=_IVF_CENTROIDS, nprobe=_IVF_NPROBE,
+    )
+    return out.select("q_id", "vec_id", F.round("cos", 4).alias("cos"), "rank")
+
+
+def _oracle_ann_ivf_topk() -> str:
+    from data_quality_assessment_spark.operators.similarity import ivf_codebook
+
+    cb = ivf_codebook(_IVF_CENTROIDS, _LSH_DIM)
+
+    def dot_sql(prefix: str, cent: list[float]) -> str:
+        # identical term set and fold order as _dot_literal (zero
+        # weights skipped there, so skipped here)
+        return " + ".join(
+            f"{prefix}[{i + 1}]::DOUBLE * ({w})"
+            for i, w in enumerate(cent) if w != 0.0
+        )
+
+    corpus_dots = ", ".join(
+        f"({dot_sql('embedding', c)})" for c in cb
+    )
+    query_pairs = ", ".join(
+        f"{{'nd': -({dot_sql('q_vec', c)}), 'c': {i}}}"
+        for i, c in enumerate(cb)
+    )
+    dot = " + ".join(
+        f"s.embedding[{i + 1}]::DOUBLE * c.q_vec[{i + 1}]::DOUBLE"
+        for i in range(_LSH_DIM)
+    )
+    na = " + ".join(
+        f"s.embedding[{i + 1}]::DOUBLE * s.embedding[{i + 1}]::DOUBLE"
+        for i in range(_LSH_DIM)
+    )
+    nb = " + ".join(
+        f"c.q_vec[{i + 1}]::DOUBLE * c.q_vec[{i + 1}]::DOUBLE"
+        for i in range(_LSH_DIM)
+    )
+    return f"""
+WITH cells AS (
+  SELECT vec_id, embedding, d,
+    (list_position(d, list_max(d)) - 1)::INT AS cell
+  FROM (SELECT vec_id, embedding, [{corpus_dots}] AS d FROM embeddings)
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+  ORDER BY vec_id LIMIT 3
+),
+probes AS (
+  SELECT q_id, q_vec, unnest(
+    list_transform(list_slice(list_sort([{query_pairs}]), 1, {_IVF_NPROBE}),
+                   p -> p.c)
+  )::INT AS cell
+  FROM q
+),
+scored AS (
+  SELECT c.q_id, s.vec_id,
+    ({dot}) / (sqrt({na}) * sqrt({nb})) AS cos_exact
+  FROM cells s JOIN probes c ON s.cell = c.cell
+  WHERE s.vec_id <> c.q_id
+)
+SELECT q_id, vec_id, round(cos_exact, 4) AS cos, rank FROM (
+  SELECT q_id, vec_id, cos_exact,
+    row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos_exact DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN (bucket join + rerank) — rows-only check; recall
     vs the exact path is pinned by tests/test_similarity_multimodal.py."""
@@ -1521,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_signature": q_lsh_signature,
         "lsh_topk": q_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "image_metadata": q_image_metadata,
         "pipeline_verdict": q_pipeline_verdict,
         "pipeline_scrub": q_pipeline_scrub,
@@ -1562,6 +1651,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ORACLE_ANN,
         "lsh_signature": _oracle_lsh_signature(),
         "lsh_topk": _oracle_lsh_topk(),
+        "ann_ivf_topk": _oracle_ann_ivf_topk(),
         "image_metadata": ORACLE_IMAGE_META,
         "doc_ppl": _oracle_doc_ppl_sql(),
         "pipeline_verdict": _oracle_pipeline_verdict_sql(),

@@ -222,3 +222,107 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat: coarse codebook -> inverted cells -> nprobe search -> rerank
+# ---------------------------------------------------------------------------
+
+
+def ivf_codebook(n_centroids: int, dim: int) -> list[list[float]]:
+    """Deterministic training-free codebook (same md5 derivation as the
+    LSH hyperplanes, namespaced "ivf:") — random directions partition the
+    sphere into max-dot Voronoi cells. Cross-engine reproducible, so the
+    DuckDB oracle derives the identical cells. A TRAINED codebook from
+    ``train_ivf_codebook`` drops into the same argument."""
+    import hashlib
+
+    out = []
+    for c in range(n_centroids):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"ivf:{c}:{i}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+def train_ivf_codebook(
+    df: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """K-means codebook via pyspark.ml (the production path: train on a
+    sample, then the IVF plan below is identical). Returns plain lists so
+    the codebook broadcasts as literals, not model state."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(_to_double(F.col(vec_col))).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(feats)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _cell_dots(vec: Column, codebook: list[list[float]]) -> Column:
+    return F.array(*[_dot_literal(vec, c) for c in codebook])
+
+
+def ivf_cell(vec: Column, codebook: list[list[float]]) -> Column:
+    """Coarse assignment: argmax_c dot(vec, centroid_c), first max wins
+    (array_position semantics — mirrored by list_position in the
+    oracle)."""
+    dots = _cell_dots(vec, codebook)
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    codebook: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF-flat ANN: corpus vectors live in exactly one coarse cell;
+    each query probes its ``nprobe`` nearest cells and reranks with the
+    exact cosine. At 10^12 rows the cell equi-join shuffles only
+    (cell, id, vec) and AQE splits hot cells; raising nprobe trades
+    wall for recall (pinned vs the exact path in tests).
+
+    The sorted probe array is MATERIALIZED as a column before element
+    extraction — indexing into a fresh ``sort_array`` re-evaluates the
+    sort per reference (CodegenFallback re-eval, measured 100x on
+    HOFs)."""
+    cb = codebook if codebook is not None else ivf_codebook(n_centroids, dim)
+    c = corpus.withColumn("cell", ivf_cell(F.col(vec_col), cb))
+    pairs = F.array(*[
+        F.struct(
+            (-_dot_literal(F.col(q_vec_col), cent)).alias("nd"),
+            F.lit(i).cast("int").alias("c"),
+        )
+        for i, cent in enumerate(cb)
+    ])
+    q = (
+        queries.withColumn("_sorted", F.sort_array(pairs))
+        .withColumn("cell", F.explode(F.transform(
+            F.slice("_sorted", 1, nprobe), lambda s: s["c"]
+        )))
+        .drop("_sorted")
+    )
+    j = c.join(q, "cell")
+    scored = j.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(q_vec_col), dim).alias("cos"),
+    ).filter(F.col(q_id_col) != F.col(id_col))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -101,3 +101,86 @@ def run_stream_once(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-host cadence state across micro-batches
+# (applyInPandasWithState — the escape hatch when built-in streaming
+# aggregations can't express the semantics; here: an exact capped
+# IAT-value histogram + last-seen timestamp per host, carried across
+# batches, emitting the reference's smallest-tie mode per update)
+# ---------------------------------------------------------------------------
+
+CADENCE_STATE_SCHEMA = (
+    "last_ts double, n long, iat_keys array<double>, iat_counts array<long>"
+)
+CADENCE_OUT_SCHEMA = (
+    "host string, n_pages long, n_iat long, mode_iat double"
+)
+_CADENCE_MAX_KEYS = 1024  # state cap per host: drop rarest keys beyond
+
+
+def host_cadence_stateful(
+    stream: DataFrame, timeout_min: int | None = None
+) -> DataFrame:
+    """Running per-host IAT mode over a stream of (host, warc_ts).
+
+    State per host: last event-time + a capped {iat: count} histogram —
+    the exact smallest-tie mode (A3/Q3) needs value counts, which no
+    built-in windowed aggregation keeps across batches. State is
+    explicitly bounded (``_CADENCE_MAX_KEYS``); pass ``timeout_min`` in
+    a continuous deployment to GC idle hosts by processing-time timeout
+    (leave None for availableNow/backfill runs — a pending timeout
+    keeps scheduling batches past the available data), so a 10^8-host
+    stream holds O(hosts x cap) state.
+
+    Timestamps are processed in event-time order WITHIN each batch
+    (sorted), so replaying the same batches yields the same state.
+    """
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        if timeout_min is not None and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            last_ts, n, keys, counts = state.get
+            hist = dict(zip(keys, counts))
+        else:
+            last_ts, n, hist = None, 0, {}
+        for pdf in pdfs:
+            for ts in sorted(pdf["warc_ts"]):
+                t = ts.timestamp()
+                if last_ts is not None and t >= last_ts:
+                    iat = round(t - last_ts, 6)
+                    hist[iat] = hist.get(iat, 0) + 1
+                last_ts = t
+                n += 1
+        if len(hist) > _CADENCE_MAX_KEYS:
+            keep = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))
+            hist = dict(keep[:_CADENCE_MAX_KEYS])
+        state.update((last_ts, n, list(hist), [hist[k] for k in hist]))
+        if timeout_min is not None:
+            state.setTimeoutDuration(timeout_min * 60 * 1000)
+        mode = (
+            min(hist, key=lambda k: (-hist[k], k)) if hist else None
+        )  # ties -> smallest (Q3)
+        yield pd.DataFrame({
+            "host": [key[0]],
+            "n_pages": [n],
+            "n_iat": [sum(hist.values())],
+            "mode_iat": [mode],
+        })
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("host").applyInPandasWithState(
+        fn,
+        outputStructType=CADENCE_OUT_SCHEMA,
+        stateStructType=CADENCE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_min is not None else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -98,3 +98,55 @@ def test_malformed_json_is_error(spark):
     df = spark.createDataFrame([(0, "not json{")], "id long, payload string")
     r = validate(df, "payload", SCHEMA).collect()[0]
     assert r.v_err_any == 1
+
+
+def test_required_outside_properties_checks_presence(spark):
+    """A required key NOT listed in properties is still checked against
+    the record's actual keys (valid JSON Schema does not require
+    required ⊆ properties) — present keys must not count as missing
+    (ADVICE r1 #3)."""
+    schema = JsonSchema.from_dict({
+        "properties": {"a": {"type": "number"}},
+        "required": ["a", "extra_req"],
+    })
+    df = spark.createDataFrame(
+        [('{"a": 1, "extra_req": "here"}',), ('{"a": 1}',),
+         ('{"a": 1, "extra_req": null}',)],
+        "payload string",
+    )
+    rows = {i: r for i, r in enumerate(
+        validate(df, "payload", schema).collect()
+    )}
+    assert rows[0].v_req_err_cnt == 0 and rows[0].v_missing_cnt == 0
+    assert rows[1].v_req_err_cnt == 1 and rows[1].v_missing_cnt == 1
+    # JSON null: present for the required check, missing for completeness
+    assert rows[2].v_req_err_cnt == 0 and rows[2].v_missing_cnt == 1
+
+
+def test_nested_object_validation_draft7_parity(spark):
+    """One-level nested schemas (EnvAQM shape): nested null/wrong-type
+    counts as a type error; nested absent-required counts into
+    v_req_err_cnt; a wrong-typed parent yields only its own error."""
+    schema = JsonSchema.from_dict({
+        "properties": {
+            "so2": {
+                "type": "object",
+                "properties": {"avgOverTime": {"type": "number"}},
+                "required": ["avgOverTime"],
+            },
+        },
+        "required": ["so2"],
+        "additionalProperties": False,
+    })
+    df = spark.createDataFrame(
+        [('{"so2": {"avgOverTime": 1.5}}',),        # clean
+         ('{"so2": {"avgOverTime": null}}',),        # nested null -> type err
+         ('{"so2": {"avgOverTime": "x"}}',),         # nested wrong type
+         ('{"so2": {}}',),                           # nested required absent
+         ('{"so2": 5}',)],                           # parent wrong type only
+        "payload string",
+    )
+    rows = validate(df, "payload", schema).collect()
+    assert [r.v_type_err_cnt for r in rows] == [0, 1, 1, 0, 1]
+    assert [r.v_req_err_cnt for r in rows] == [0, 0, 0, 1, 0]
+    assert [r.v_err_any for r in rows] == [0, 1, 1, 1, 1]

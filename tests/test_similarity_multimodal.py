@@ -138,3 +138,57 @@ def test_frame_sample_plan(spark):
         for r in mm.frame_sample_plan(df, every_n=30).collect()
     )
     assert got == [(1, 0), (1, 30), (1, 60), (1, 90), (2, 0)]
+
+
+def test_ivf_topk_recall_and_partition(spark, vectors):
+    """IVF-flat: every corpus vector in exactly one cell; nprobe search
+    recovers most of the exact top-5 on clustered data, and recall is
+    monotone in nprobe (more probed cells can only add candidates)."""
+    cells = vectors.select(
+        sim.ivf_cell(F.col("embedding"), sim.ivf_codebook(8, DIM)).alias("c")
+    ).collect()
+    assert all(0 <= r.c < 8 for r in cells)
+
+    rows = [(r.vec_id, r.embedding) for r in vectors.collect()]
+    queries = vectors.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+    def recall(nprobe):
+        got = sim.ivf_topk(vectors, queries, dim=DIM, k=5,
+                           n_centroids=8, nprobe=nprobe).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.q_id, set()).add(r.vec_id)
+        hits = sum(
+            len(set(_numpy_topk(rows, qid, 5)) & by_q.get(qid, set()))
+            for qid in range(5)
+        )
+        return hits / 25
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 == 1.0, f"full probe must equal exact: {r8}"
+    assert r2 <= r8
+    assert recall(4) >= 0.5, "nprobe=4 recall too low"
+
+
+def test_ivf_trained_codebook_seam(spark, vectors):
+    """The pyspark.ml KMeans-trained codebook drops into the same plan
+    (production path); with k = number of true clusters the trained
+    cells should give high recall at small nprobe."""
+    cb = sim.train_ivf_codebook(vectors, n_centroids=4)
+    assert len(cb) == 4 and len(cb[0]) == DIM
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    rows = [(r.vec_id, r.embedding) for r in vectors.collect()]
+    got = sim.ivf_topk(vectors, queries, dim=DIM, k=5,
+                       codebook=cb, nprobe=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = sum(
+        len(set(_numpy_topk(rows, qid, 5)) & by_q.get(qid, set()))
+        for qid in range(3)
+    )
+    assert hits / 15 >= 0.6, f"trained-codebook recall: {hits}/15"

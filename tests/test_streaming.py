@@ -93,3 +93,61 @@ def test_host_window_counts(spark, tmp_path, pages_pdf):
     q2.awaitTermination()
     got2 = spark.sql("select sum(n_pages) as n from host_counts_c").collect()[0].n
     assert got2 == total
+
+
+def test_stateful_cadence_carries_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-host IAT histogram state survives
+    micro-batch boundaries — after two availableNow runs over split
+    input the running mode equals the batch-computed mode."""
+    import datetime as dt
+
+    inp = str(tmp_path / "cad_in")
+    ck = str(tmp_path / "cad_ck")
+    base = dt.datetime(2022, 1, 1)
+    rows = []
+    # host a: strict 10s cadence; host b: 5s cadence with one 20s gap
+    for i in range(10):
+        rows.append(("a", base + dt.timedelta(seconds=10 * i)))
+    for i in range(6):
+        rows.append(("b", base + dt.timedelta(seconds=5 * i)))
+    rows.append(("b", base + dt.timedelta(seconds=45)))
+    df = spark.createDataFrame(rows, "host string, warc_ts timestamp")
+
+    first = df.orderBy("warc_ts").limit(8)
+    rest = df.subtract(first)
+    first.write.parquet(inp)
+
+    out = str(tmp_path / "cad_out")
+
+    def run():
+        s = (
+            spark.readStream.schema("host string, warc_ts timestamp")
+            .parquet(inp)
+        )
+        q = (
+            qs.host_cadence_stateful(s)
+            .writeStream.foreachBatch(
+                lambda bdf, _id: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream did not finish"
+
+    run()
+    rest.write.mode("append").parquet(inp)
+    run()
+
+    # run 2 processes ONLY the new files (checkpoint), but its emitted
+    # rows reflect the state accumulated across BOTH runs: take the
+    # last update per host (max n_pages)
+    got = spark.read.parquet(out).collect()
+    final = {}
+    for r in got:
+        if r.host not in final or r.n_pages > final[r.host].n_pages:
+            final[r.host] = r
+    assert final["a"].n_pages == 10 and final["a"].mode_iat == 10.0
+    assert final["b"].n_pages == 7 and final["b"].mode_iat == 5.0
+    assert final["b"].n_iat == 6
