@@ -1320,6 +1320,66 @@ FROM documents
 """
 
 
+def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAKEAUD1 twin of q_image_metadata: deterministic audio containers
+    (rate/samples derived from doc_id) through the mapInPandas decode
+    path; the oracle re-derives rate, sample count, and duration
+    declaratively."""
+    from data_quality_assessment_spark.functions import multimodal as mmod
+
+    d = _load(spark, sf_dir, "documents")
+
+    import pandas as pd
+
+    def make_blobs(batches):
+        for b in batches:
+            out_rows = []
+            for did in b["doc_id"]:
+                rate = int(did) % 48000 + 8000
+                n = int(did) % 100000 + 1
+                out_rows.append(
+                    (did, "audio", mmod.encode_fake_audio(rate, n), "audio/fake")
+                )
+            yield pd.DataFrame(
+                out_rows, columns=["media_id", "kind", "blob", "mime"]
+            )
+
+    media = d.select("doc_id").mapInPandas(make_blobs, mmod.MEDIA_SCHEMA)
+    return mmod.audio_metadata(media)
+
+
+ORACLE_AUDIO_META = """
+SELECT doc_id AS media_id,
+  (doc_id % 48000 + 8000)::INT AS sample_rate,
+  (doc_id % 100000 + 1)::BIGINT AS n_samples,
+  round((doc_id % 100000 + 1)::DOUBLE
+        / (doc_id % 48000 + 8000), 6) AS duration_sec,
+  true AS valid
+FROM documents
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (every 30th frame index per media row,
+    from metadata only — no decode; functions/multimodal.py)."""
+    from data_quality_assessment_spark.functions import multimodal as mmod
+
+    d = _load(spark, sf_dir, "documents")
+    vids = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 300 + 1).alias("n_frames"),
+    )
+    out = mmod.frame_sample_plan(vids, every_n=30)
+    return out.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+ORACLE_FRAME_SAMPLE = """
+SELECT doc_id AS media_id,
+  unnest(range(0, (doc_id % 300 + 1)::BIGINT, 30))::BIGINT AS frame_idx
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # flagship (UDF stages — rows-only checks, no SQL oracle)
 # ---------------------------------------------------------------------------
@@ -1611,6 +1671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "image_metadata": q_image_metadata,
+        "audio_metadata": q_audio_metadata,
+        "frame_sample": q_frame_sample,
         "pipeline_verdict": q_pipeline_verdict,
         "pipeline_scrub": q_pipeline_scrub,
         "doc_ppl": q_doc_ppl,
@@ -1653,6 +1715,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": _oracle_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),
         "image_metadata": ORACLE_IMAGE_META,
+        "audio_metadata": ORACLE_AUDIO_META,
+        "frame_sample": ORACLE_FRAME_SAMPLE,
         "doc_ppl": _oracle_doc_ppl_sql(),
         "pipeline_verdict": _oracle_pipeline_verdict_sql(),
         # pipeline_scrub: rows-only — PHONE/IP lookbehind regexes are not
