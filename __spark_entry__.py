@@ -481,22 +481,37 @@ def _events_iat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_iat_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _events_iat(spark, sf_dir).filter(F.col("iat").isNotNull())
+    """Per-user IAT count/sum/min/max in EXACT integer microseconds
+    (A1/A2/A10): a float avg's last-ulp depends on summation order, and
+    at sf0.1 one user's avg landed on a 6dp round-half boundary where
+    Spark (HALF_UP) and DuckDB disagree — integer sums are
+    order-independent and tie-free (same trick as the quantized LM)."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = e.withColumn("iat_us", us - F.lag(us).over(w)).filter(
+        F.col("iat_us").isNotNull() & (F.col("iat_us") >= 0)
+    )
     return d.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_iat"),
-        F.round(F.avg("iat"), 6).alias("avg_iat"),
-        F.round(F.min("iat"), 6).alias("min_iat"),
-        F.round(F.max("iat"), 6).alias("max_iat"),
+        F.sum("iat_us").alias("sum_iat_us"),
+        F.min("iat_us").alias("min_iat_us"),
+        F.max("iat_us").alias("max_iat_us"),
     )
 
 
-ORACLE_IAT_USER_STATS = f"""
-WITH i AS ({_SQL_IAT})
+ORACLE_IAT_USER_STATS = """
+WITH i AS (
+  SELECT user_id,
+    date_diff('microsecond',
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) AS iat_us
+  FROM events
+)
 SELECT user_id, count(*)::BIGINT AS n_iat,
-  round(avg(iat), 6) AS avg_iat,
-  round(min(iat), 6) AS min_iat,
-  round(max(iat), 6) AS max_iat
-FROM i WHERE iat IS NOT NULL GROUP BY user_id
+  sum(iat_us)::BIGINT AS sum_iat_us,
+  min(iat_us)::BIGINT AS min_iat_us,
+  max(iat_us)::BIGINT AS max_iat_us
+FROM i WHERE iat_us IS NOT NULL AND iat_us >= 0 GROUP BY user_id
 """
 
 
@@ -1352,8 +1367,7 @@ ORACLE_AUDIO_META = """
 SELECT doc_id AS media_id,
   (doc_id % 48000 + 8000)::INT AS sample_rate,
   (doc_id % 100000 + 1)::BIGINT AS n_samples,
-  round((doc_id % 100000 + 1)::DOUBLE
-        / (doc_id % 48000 + 8000), 6) AS duration_sec,
+  (doc_id % 100000 + 1)::DOUBLE / (doc_id % 48000 + 8000) AS duration_sec,
   true AS valid
 FROM documents
 """

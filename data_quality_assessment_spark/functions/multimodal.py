@@ -153,8 +153,11 @@ def audio_metadata(df: DataFrame) -> DataFrame:
             for mid, blob in zip(b["media_id"], b["blob"]):
                 try:
                     rate, n = _decode_audio(bytes(blob))
+                    # full-precision duration: a 6dp round can land on a
+                    # half-tie where engines' rounding modes disagree;
+                    # one exact double division is cross-engine stable
                     rows.append(
-                        (mid, rate, n, round(n / rate, 6) if rate else None, True)
+                        (mid, rate, n, n / rate if rate else None, True)
                     )
                 except Exception:  # noqa: BLE001 — invalid blob => row, not task failure
                     rows.append((mid, None, None, None, False))
