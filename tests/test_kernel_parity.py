@@ -1,0 +1,98 @@
+"""Fused-kernel equivalence (no Spark): ``kernel.enrich_batch`` must
+produce EXACTLY the per-doc function composition for arbitrary input —
+the fused kernel shares tokenization/ids across stages, and this pins
+that the sharing changes nothing (hypothesis over unicode text,
+PII-bearing strings, and the fixture corpus)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_quality_assessment_spark.functions import kernel, textcore
+from data_quality_assessment_spark.functions.lm import get_model
+
+try:
+    from hypothesis import given, settings, strategies as st
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+def _reference_enrich(html, text):
+    """The unfused composition of the public per-doc functions."""
+    if html is not None:
+        txt = textcore.extract_text(bytes(html))
+    elif isinstance(text, str):
+        txt = text
+    else:
+        txt = ""
+    toks = textcore.tokenize(txt)
+    lang, conf = textcore.lang_id(txt, toks)
+    scrubbed, c = textcore.scrub_text(txt)
+    nw = len(toks)
+    return {
+        "lang_pred": lang,
+        "lang_conf": conf,
+        "ppl": get_model().perplexity(txt, toks),
+        "top_bigram_share": textcore.top_bigram_share(txt, toks),
+        "scrubbed_text": scrubbed,
+        "pii_email": c["pii_email"],
+        "pii_ip": c["pii_ip"],
+        "pii_phone": c["pii_phone"],
+        "toxicity_slur": c["toxicity_slur"],
+        "nw": nw,
+        "mean_wl": textcore.mean_word_len(txt),
+        "symbol_ratio": textcore.symbol_word_ratio(txt),
+        "stopword_frac": textcore.stopword_frac(txt),
+        "dup_line_frac": textcore.dup_line_frac(txt),
+    }
+
+
+def _assert_match(html, text):
+    cols = kernel.enrich_batch([html], [text])
+    want = _reference_enrich(html, text)
+    for k, v in want.items():
+        assert cols[k][0] == v, (k, text)
+
+
+CASES = [
+    (None, None),
+    (None, ""),
+    (None, "   \t\n "),
+    (b"<html><body>the data page is open</body></html>", None),
+    (None, "a@b.co or 1.2.3.4 and 044-2345678 grokflarp"),
+    (None, "Привет мир " * 10),
+    (None, "数据质量很好" * 5),
+    (None, "mixed Привет the data 数据 line\nline\nline"),
+    (None, "x" * 5000),
+]
+
+
+@pytest.mark.parametrize("html,text", CASES)
+def test_kernel_matches_composition(html, text):
+    _assert_match(html, text)
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis unavailable")
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=400))
+def test_kernel_matches_composition_hypothesis(text):
+    _assert_match(None, text)
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis unavailable")
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=300))
+def test_kernel_html_path_hypothesis(blob):
+    _assert_match(b"<html><body>" + blob + b"</body></html>", None)
+
+
+def test_kernel_on_fixture_corpus():
+    from data_quality_assessment_spark.sources.fixture_gen import gen_pages_fast
+
+    pdf = gen_pages_fast(500, seed=99)
+    cols = kernel.enrich_batch(list(pdf["html"]), list(pdf["text"]))
+    for i in (0, 123, 499):
+        want = _reference_enrich(pdf["html"][i], pdf["text"][i])
+        for k, v in want.items():
+            assert cols[k][i] == v, (i, k)
