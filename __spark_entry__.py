@@ -594,6 +594,59 @@ GROUP BY i.user_id
 """
 
 
+def q_host_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north_star's per-host crawl-cadence over PAGES (reference IAT
+    regularity/outlier math per url host — plans/pipeline.host_cadence):
+    one row per host with page count + both cadence scores."""
+    pages = _pages(spark, sf_dir)
+    return pipeline.host_cadence(pages)
+
+
+ORACLE_HOST_CADENCE = """
+WITH p AS (SELECT source AS host, doc_id::DOUBLE AS t FROM documents),
+i0 AS (
+  SELECT host, t - lag(t) OVER (PARTITION BY host ORDER BY t) AS iat FROM p
+),
+i AS (SELECT host, iat FROM i0 WHERE iat IS NOT NULL AND iat >= 0),
+n AS (SELECT host, count(*)::BIGINT AS n_pages FROM p GROUP BY host),
+c AS (SELECT host, iat, count(*) AS cnt FROM i GROUP BY 1, 2),
+m AS (
+  SELECT host, iat AS mode FROM (
+    SELECT host, iat,
+      row_number() OVER (PARTITION BY host ORDER BY cnt DESC, iat ASC) rn
+    FROM c) WHERE rn = 1
+),
+r AS (
+  SELECT i.host,
+    round(sum(CASE WHEN rae <= 0.5 THEN 1 - 2 * rae ELSE 0.0 END)
+      / (sum(CASE WHEN rae <= 0.5 THEN 1.0 ELSE 0.0 END)
+         + sum(CASE WHEN rae > 0.5 THEN 2 * rae ELSE 0.0 END)), 6)
+      AS reg_score
+  FROM (
+    SELECT i.host, abs(i.iat - m.mode) / m.mode AS rae
+    FROM i JOIN m ON i.host = m.host AND m.mode <> 0
+  ) i GROUP BY i.host
+),
+md AS (
+  SELECT d.host, quantile_cont(d.absdev, 0.5) AS mad,
+    any_value(d.mode) AS mode
+  FROM (
+    SELECT i.host, i.iat, m.mode, abs(i.iat - m.mode) AS absdev
+    FROM i JOIN m ON i.host = m.host
+  ) d GROUP BY d.host
+),
+o AS (
+  SELECT i.host,
+    round(1 - sum(CASE WHEN md.mad > 0
+        AND 0.6745 * (i.iat - md.mode) / md.mad > 3.5
+        THEN 1.0 ELSE 0.0 END) / count(*), 6) AS out_score
+  FROM i JOIN md ON i.host = md.host GROUP BY i.host
+)
+SELECT n.host, n.n_pages, r.reg_score, o.out_score
+FROM n LEFT JOIN r ON n.host = r.host LEFT JOIN o ON n.host = o.host
+"""
+
+
 def q_iat_outage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _events_iat(spark, sf_dir)
     return cadence.outage_by_entity(d, "user_id")
@@ -1667,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iat_regularity": q_iat_regularity,
         "iat_outliers": q_iat_outliers,
         "iat_outage": q_iat_outage,
+        "host_cadence": q_host_cadence,
         "cadence_pandas": q_cadence_pandas,
         "cosine_near_dup": q_cosine_near_dup,
         "schema_validation": q_schema_validation,
@@ -1711,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
         "iat_regularity": ORACLE_IAT_REG,
         "iat_outliers": ORACLE_IAT_OUT,
         "iat_outage": ORACLE_IAT_OUTAGE,
+        "host_cadence": ORACLE_HOST_CADENCE,
         "cadence_pandas": ORACLE_CADENCE_PANDAS,
         "cosine_near_dup": ORACLE_COSINE_NEAR_DUP,
         "schema_validation": ORACLE_SCHEMA_VALIDATION,
