@@ -250,6 +250,34 @@ def run_pipeline_once(
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def run_pipeline_subprocess(
+    master_cores: int, corpus: str, out_dir: str
+) -> tuple[float, float]:
+    """run_pipeline_once in a FRESH interpreter+JVM: successive
+    SparkSessions in one process share a JVM gateway, and the dying
+    session's Python-accumulator server produces 'EOF reached before
+    Python server acknowledged' ERROR spam on every later run; a
+    subprocess per timed run isolates JVM state completely (the warm-up
+    inside still pays JIT/codegen before the timed pass)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one",
+         str(master_cores), corpus, out_dir],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        env={**os.environ, "SPARK_GRAFT_BENCH_DOCS": str(N_DOCS)},
+    )
+    for ln in proc.stdout.splitlines():
+        if ln.startswith("BENCH_ONE "):
+            _, t, c = ln.split()
+            return float(t), float(c)
+    raise RuntimeError(
+        f"subprocess bench failed (rc={proc.returncode}):\n"
+        + proc.stderr[-2000:]
+    )
+
+
 def force(df) -> int:
     """Force full evaluation of every output column (count() alone would
     let Catalyst prune the projections we want to measure)."""
@@ -280,12 +308,12 @@ def main() -> None:
     t_full = c_full = float("inf")
     t_small = c_small = float("inf")
     for i in range(trials):
-        t, c = run_pipeline_once(CPUS, corpus, tmp_out)
+        t, c = run_pipeline_subprocess(CPUS, corpus, tmp_out)
         print(f"trial {i} local[{CPUS}]: {t:.2f}s cpu {c:.0f}s",
               file=sys.stderr)
         t_full, c_full = min(t_full, t), min(c_full, c)
         if DO_SCALING:
-            t, c = run_pipeline_once(8, corpus, tmp_out)
+            t, c = run_pipeline_subprocess(8, corpus, tmp_out)
             print(f"trial {i} local[8]: {t:.2f}s cpu {c:.0f}s",
                   file=sys.stderr)
             t_small, c_small = min(t_small, t), min(c_small, c)
@@ -329,10 +357,10 @@ def main() -> None:
         n_small = min(N_DOCS, 1_000_000)
         t2 = t8s = float("inf")
         for i in range(2):
-            t, _ = run_pipeline_once(8, small_corpus, tmp_out)
+            t, _ = run_pipeline_subprocess(8, small_corpus, tmp_out)
             print(f"smallstep {i} local[8]: {t:.2f}s", file=sys.stderr)
             t8s = min(t8s, t)
-            t, _ = run_pipeline_once(2, small_corpus, tmp_out)
+            t, _ = run_pipeline_subprocess(2, small_corpus, tmp_out)
             print(f"smallstep {i} local[2]: {t:.2f}s", file=sys.stderr)
             t2 = min(t2, t)
         scaling["small_step"] = {
@@ -375,4 +403,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        t, c = run_pipeline_once(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        print(f"BENCH_ONE {t:.4f} {c:.2f}", flush=True)
+    else:
+        main()
