@@ -40,13 +40,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # barriers + commit) is constant w.r.t. corpus size, so scaling
 # efficiency at small corpora measures the overhead, not the plan —
 # measured eff 0.44 @ 400k -> 0.61 @ 1M as the overhead share shrinks.
-# 2M keeps the whole bench under ~8 min with the corpus cached
-# (.bench_cache survives rounds; gen is a one-time ~6 min).
+# 2M keeps the whole bench under ~10 min with the corpus cached
+# (.bench_cache survives rounds; parallel gen is ~90 s if cleaned).
 # Seed-deterministic at any size via SPARK_GRAFT_BENCH_DOCS.
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".bench_cache", f"pages_v4_{N_DOCS}")
+                     ".bench_cache", f"pages_v5_{N_DOCS}")
 
 # operator queries benched at SF_DIR (entry queries exercise each
 # operator family; minhash/simhash use the fast xxhash64 production
@@ -83,13 +83,43 @@ BENCH_QUERIES = [
 ]
 
 
+def _gen_chunk(args: tuple[int, int, int]):
+    """One deterministic corpus chunk (worker process). The url gets a
+    chunk disambiguator so (url, warc_ts) stays unique ACROSS chunks —
+    each chunk's generator reuses per-chunk row indices."""
+    ci, n, seed = args
+    from data_quality_assessment_spark.sources.fixture_gen import gen_pages_fast
+
+    pdf = gen_pages_fast(n, seed=seed)
+    pdf["url"] = pdf["url"] + f"?c={ci}"
+    return pdf
+
+
 def ensure_corpus() -> str:
     marker = os.path.join(CACHE, "_SUCCESS_GEN")
     if os.path.exists(marker):
         return CACHE
+    import pandas as pd
+
     from data_quality_assessment_spark.sources.fixture_gen import gen_pages_fast
 
-    pdf = gen_pages_fast(N_DOCS, seed=42)
+    if N_DOCS >= 500_000:
+        # parallel deterministic generation (8 chunks, fixed seeds):
+        # the serial path is ~6 min at 2M docs — too slow to regenerate
+        # if the cache is cleaned between rounds
+        import multiprocessing as mp
+
+        n_chunks = 8
+        per = N_DOCS // n_chunks
+        sizes = [per] * (n_chunks - 1) + [N_DOCS - per * (n_chunks - 1)]
+        with mp.Pool(n_chunks) as pool:
+            parts = pool.map(
+                _gen_chunk,
+                [(ci, sz, 42_000 + ci) for ci, sz in enumerate(sizes)],
+            )
+        pdf = pd.concat(parts, ignore_index=True)
+    else:
+        pdf = gen_pages_fast(N_DOCS, seed=42)
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -138,7 +168,7 @@ def ensure_small_corpus() -> str:
     saved_cache, saved_n = CACHE, N_DOCS
     try:
         CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".bench_cache", f"pages_v4_{n_small}")
+                             ".bench_cache", f"pages_v5_{n_small}")
         N_DOCS = n_small
         return ensure_corpus()
     finally:
