@@ -594,6 +594,49 @@ GROUP BY i.user_id
 """
 
 
+def q_iat_regularity_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 + A11: the reference's retired regularity variant — strict
+    IAT>0 mask, per-entity mode deviation, min-max scale, 1 - mean
+    (cadence.regularity_old). Integer-floored IATs keep every per-entity
+    sum exact so the oracle agrees bit-for-bit."""
+    e = _load(spark, sf_dir, "events")
+    d = cadence.with_iat(e, "user_id", "ts", strict_positive=True).select(
+        "user_id", F.floor("iat").cast("double").alias("iat")
+    )
+    return cadence.regularity_old(d, "user_id")
+
+
+ORACLE_IAT_REG_OLD = """
+WITH i0 AS (
+  SELECT user_id,
+    date_diff('microsecond',
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+      / 1000000.0 AS iat
+  FROM events
+),
+i AS (
+  SELECT user_id, floor(iat)::DOUBLE AS iat FROM i0
+  WHERE iat IS NOT NULL AND iat > 0
+),
+c AS (SELECT user_id, iat, count(*) AS cnt FROM i GROUP BY 1, 2),
+m AS (
+  SELECT user_id, iat AS mode FROM (
+    SELECT user_id, iat,
+      row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, iat ASC) rn
+    FROM c) WHERE rn = 1
+),
+dev AS (
+  SELECT i.user_id, avg(abs(i.iat - m.mode)) AS mode_deviation
+  FROM i JOIN m ON i.user_id = m.user_id GROUP BY i.user_id
+),
+mm AS (SELECT min(mode_deviation) AS mn, max(mode_deviation) AS mx FROM dev)
+SELECT round(1.0 - avg(CASE WHEN mm.mx > mm.mn
+    THEN (dev.mode_deviation - mm.mn) / (mm.mx - mm.mn)
+    ELSE 0.0 END), 3) AS reg_score_old
+FROM dev, mm
+"""
+
+
 def q_host_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north_star's per-host crawl-cadence over PAGES (reference IAT
     regularity/outlier math per url host — plans/pipeline.host_cadence):
@@ -1721,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iat_outliers": q_iat_outliers,
         "iat_outage": q_iat_outage,
         "host_cadence": q_host_cadence,
+        "iat_regularity_old": q_iat_regularity_old,
         "cadence_pandas": q_cadence_pandas,
         "cosine_near_dup": q_cosine_near_dup,
         "schema_validation": q_schema_validation,
@@ -1766,6 +1810,7 @@ def oracle_sql() -> dict[str, str]:
         "iat_outliers": ORACLE_IAT_OUT,
         "iat_outage": ORACLE_IAT_OUTAGE,
         "host_cadence": ORACLE_HOST_CADENCE,
+        "iat_regularity_old": ORACLE_IAT_REG_OLD,
         "cadence_pandas": ORACLE_CADENCE_PANDAS,
         "cosine_near_dup": ORACLE_COSINE_NEAR_DUP,
         "schema_validation": ORACLE_SCHEMA_VALIDATION,

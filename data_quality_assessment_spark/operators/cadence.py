@@ -32,12 +32,17 @@ def with_iat(
     ts: str,
     order_tiebreak: str | None = None,
     global_order: bool = False,
+    strict_positive: bool = False,
 ) -> DataFrame:
     """Add ``iat`` (seconds, double): lag-difference of ts.
 
     Rows with negative IAT are masked to null (reference keeps >=0, Q2);
     the first row per entity has null IAT. Callers filter ``iat IS NOT
     NULL`` — mirroring the reference's dropna (P5).
+
+    ``strict_positive=True`` is the P4 variant (``IAT > 0``,
+    ``metricModules.py:22``): zeros masked too — same-timestamp arrivals
+    drop out of the statistics instead of anchoring the mode at 0.
     """
     order = [F.col(ts)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
     if global_order:
@@ -49,7 +54,8 @@ def with_iat(
     micros = F.unix_micros(F.col(ts).cast("timestamp"))
     prev = F.lag(micros).over(w)
     iat = (micros - prev) / F.lit(1_000_000.0)
-    return df.withColumn("iat", F.when(iat >= 0, iat))
+    keep = iat > 0 if strict_positive else iat >= 0
+    return df.withColumn("iat", F.when(keep, iat))
 
 
 def mode_smallest(df: DataFrame, value: str, group: list[str] | None = None) -> DataFrame:
@@ -236,6 +242,46 @@ def outlier_score_median(
     is_out = F.when((F.col("_mad") > 0) & (modz > 3.5), F.lit(1.0)).otherwise(F.lit(0.0))
     return j2.groupBy(*group).agg(
         F.round(1 - F.sum(is_out) / F.count(F.lit(1)), 6).alias("out_score_med")
+    )
+
+
+def minmax_scale(df: DataFrame, col: str, out_col: str = "scaled") -> DataFrame:
+    """A11 (``metricModules.py:48-50``): min-max normalization to [0,1]
+    — ``(x - min)/(max - min)``; a constant column scales to 0.0 (the
+    sklearn MinMaxScaler degenerate-case behavior). The min/max pair is
+    a one-row aggregate broadcast back onto the rows — no second shuffle.
+    """
+    mm = df.agg(F.min(col).alias("_mn"), F.max(col).alias("_mx"))
+    j = df.crossJoin(F.broadcast(mm))
+    scaled = F.when(
+        F.col("_mx") > F.col("_mn"),
+        (F.col(col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+    ).otherwise(F.lit(0.0))
+    return j.withColumn(out_col, scaled).drop("_mn", "_mx")
+
+
+def regularity_old(
+    df: DataFrame, entity: str, iat_col: str = "iat"
+) -> DataFrame:
+    """The reference's RETIRED regularity variant
+    (``metricModules.py:32-52`` — dead code in the generator, SURVEY.md
+    Q5/§2.6 A11, provided for completeness): per-entity mode deviation
+    ``mean(|x - mode|)`` (mode ties -> smallest, Q3), min-max scaled
+    across entities, score = round(1 - mean(scaled), 3). One row.
+
+    Deviation from the dead code's accidents: rows are cleaned with a
+    real ``iat IS NOT NULL`` filter (the original's non-inplace
+    ``dropna()`` did nothing — a bug, not a semantic).
+    """
+    clean = df.filter(F.col(iat_col).isNotNull())
+    m = mode_smallest(clean, iat_col, [entity])
+    j = _join_stat(clean, m, [entity])
+    dev = j.groupBy(entity).agg(
+        F.avg(F.abs(F.col(iat_col) - F.col("mode"))).alias("mode_deviation")
+    )
+    scaled = minmax_scale(dev, "mode_deviation", "norm_dev")
+    return scaled.agg(
+        F.round(F.lit(1.0) - F.avg("norm_dev"), 3).alias("reg_score_old")
     )
 
 

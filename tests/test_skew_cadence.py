@@ -116,3 +116,39 @@ def test_salted_repartition_is_deterministic(spark):
     for k, _v, p in a:
         parts[k].add(p)
     assert all(len(ps) > 1 for ps in parts.values()), parts
+
+
+def test_minmax_scale_and_regularity_old(spark):
+    """A11 + P4 (reference dead code, reimplemented as real operators):
+    min-max scaling with the degenerate constant-column case, strict
+    IAT>0 masking, and the retired regularity score's hand math."""
+    from pyspark.sql import functions as F
+
+    from data_quality_assessment_spark.operators import cadence
+
+    df = spark.createDataFrame([(1.0,), (3.0,), (5.0,)], "x double")
+    got = {r.x: r.scaled for r in cadence.minmax_scale(df, "x").collect()}
+    assert got == {1.0: 0.0, 3.0: 0.5, 5.0: 1.0}
+    const = spark.createDataFrame([(2.0,), (2.0,)], "x double")
+    assert all(
+        r.scaled == 0.0 for r in cadence.minmax_scale(const, "x").collect()
+    )
+
+    # entity a: IATs [10,10,20] -> mode 10, dev = (0+0+10)/3
+    # entity b: IATs [5,5]      -> mode 5,  dev = 0
+    # scaled: a=1, b=0 -> score = round(1 - 0.5, 3) = 0.5
+    import datetime as dt
+
+    base = dt.datetime(2022, 1, 1)
+    rows = []
+    for off in (0, 10, 20, 40):
+        rows.append(("a", base + dt.timedelta(seconds=off)))
+    for off in (0, 5, 10):
+        rows.append(("b", base + dt.timedelta(seconds=off)))
+    # a zero-IAT duplicate that strict_positive must MASK (P4): with it
+    # unmasked, a's mode would be 0 and the score would change
+    rows.append(("a", base + dt.timedelta(seconds=40)))
+    df = spark.createDataFrame(rows, "e string, ts timestamp")
+    iat = cadence.with_iat(df, "e", "ts", strict_positive=True)
+    score = cadence.regularity_old(iat, "e").collect()[0]
+    assert score.reg_score_old == 0.5
