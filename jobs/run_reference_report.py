@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--schema-dir", required=True,
                    help="directory holding <schemaFileName>")
     p.add_argument("--out", default=None, help="write the report JSON here")
+    p.add_argument("--artifacts-dir", default=None,
+                   help="also write the PNG score chart + PDF report + "
+                        "JSON here (the reference generator's full "
+                        "artifact trio — plans/report_sinks.py)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -74,6 +78,13 @@ def main(argv: list[str] | None = None) -> int:
     }
     if args.out:
         report.report_json(doc, args.out)
+    if args.artifacts_dir:
+        from data_quality_assessment_spark.plans.report_sinks import (
+            reference_report_artifacts,
+        )
+
+        paths = reference_report_artifacts(row, args.artifacts_dir)
+        doc["artifacts"] = paths
     print(json.dumps(doc))
     spark.stop()
     return 0
