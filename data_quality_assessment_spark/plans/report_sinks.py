@@ -158,6 +158,31 @@ def render_histogram(values, bins: int = 30, width: int = 640,
     return img
 
 
+def render_entity_bars(pairs, width: int = 640, truncate: int = 4,
+                       title: str = "") -> np.ndarray:
+    """Per-entity value bars (the reference's dupe-count / outage plots,
+    ``PreProcessing.py:217-224, 374-382``) with V4's display truncation:
+    entity ids are shown as their LAST ``truncate`` characters
+    (``str[-4:]``, ``PreProcessing.py:117, 305-308``)."""
+    pairs = list(pairs)
+    row_h, pad, label_w = 22, 10, 90
+    h = pad * 2 + row_h * len(pairs) + (14 if title else 0)
+    img = np.full((max(h, 40), width, 3), 255, np.uint8)
+    y0 = pad
+    if title:
+        _draw_text(img, 8, y0, title[:60])
+        y0 += 14
+    top = max((float(v) for _e, v in pairs), default=1.0) or 1.0
+    chart_w = width - label_w - 80
+    for i, (ent, val) in enumerate(pairs):
+        y = y0 + i * row_h
+        _draw_text(img, 8, y + 6, str(ent)[-truncate:])  # V4
+        img[y + 4:y + row_h - 5,
+            label_w:label_w + int(float(val) / top * chart_w)] = (70, 130, 180)
+        _draw_text(img, label_w + chart_w + 8, y + 6, f"{float(val):g}"[:9])
+    return img
+
+
 # ---------------------------------------------------------------------------
 # PDF (S6)
 # ---------------------------------------------------------------------------

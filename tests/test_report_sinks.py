@@ -88,3 +88,20 @@ def test_reference_report_artifacts(tmp_path):
     assert rs.read_png(paths["scores_png"]).shape[2] == 3
     doc = json.load(open(paths["report_json"]))
     assert doc["dupe"] == 1.0
+
+
+def test_entity_bars_v4_truncation(tmp_path):
+    """V4 (PreProcessing.py:117): entity ids truncated to the last 4
+    chars for display."""
+    img = rs.render_entity_bars(
+        [("bus_trip_8841", 120.0), ("bus_trip_0007", 30.0)],
+        title="OUTAGE SEC",
+    )
+    # the '8841' label renders as dark pixels in the label gutter
+    dark = (img < 100).all(axis=2)
+    assert dark[:, :90].sum() > 50
+    blue = (img == np.array([70, 130, 180], np.uint8)).all(axis=2)
+    per_row = blue.sum(axis=1)
+    nz = per_row[per_row > 0]
+    assert nz.max() >= 3.5 * nz.min()  # 120 vs 30 bar lengths
+    rs.write_png(str(tmp_path / "e.png"), img)
