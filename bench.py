@@ -332,12 +332,20 @@ def main() -> None:
     n_out = N_DOCS  # corpus rows incl. dup injections
     # 4 alternating pairs: this host's contention waves last minutes and
     # can poison 1-2 consecutive trials; min-of-4 has been stable where
-    # min-of-3 still caught a wave (per-trial walls go to stderr)
+    # min-of-3 still caught a wave (per-trial walls go to stderr).
+    # A soft budget bounds total bench wall under bad weather: after
+    # at least 2 pairs, remaining trials are skipped once the scaling
+    # phase exceeds it (the one JSON line must always print).
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS",
                                 "4" if DO_SCALING else "1"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "420"))
+    phase_t0 = time.time()
     t_full = c_full = float("inf")
     t_small = c_small = float("inf")
     for i in range(trials):
+        if i >= 2 and time.time() - phase_t0 > budget:
+            print(f"budget: stopping after {i} pairs", file=sys.stderr)
+            break
         t, c = run_pipeline_subprocess(CPUS, corpus, tmp_out)
         print(f"trial {i} local[{CPUS}]: {t:.2f}s cpu {c:.0f}s",
               file=sys.stderr)
