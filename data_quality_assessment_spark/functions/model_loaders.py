@@ -72,24 +72,34 @@ def read_fasttext_header(path: str) -> FastTextHeader:
 
 
 class ArpaLM:
-    """Bigram ARPA model with standard Katz-style backoff scoring.
+    """ARPA n-gram model (orders 1-3) with standard Katz-style backoff:
 
-    score(w | v) = log10 p(v w)                     if the bigram exists
-                 = backoff(v) + log10 p(w)          otherwise
+    p(w | u v) = trigram                       if present
+               = backoff(u v) + p(w | v)       otherwise
+    p(w | v)   = bigram                        if present
+               = backoff(v) + p(w)             otherwise
+
     OOV words map to ``<unk>`` when present, else get ``oov_log10p``.
     ``perplexity`` mirrors KenLM: 10 ** (-mean log10 p over scored
-    transitions), rounded 6dp like the in-repo BigramLM.
+    transitions; first transition bigram-scored in trigram mode),
+    rounded 6dp like the in-repo BigramLM.
     """
 
     def __init__(
         self,
         uni: dict[str, tuple[float, float]],   # word -> (log10p, backoff)
-        bi: dict[tuple[str, str], float],      # (v, w) -> log10p
+        bi: dict[tuple[str, str], tuple[float, float]],  # (v,w) -> (log10p, backoff)
+        tri: dict[tuple[str, str, str], float] | None = None,  # (u,v,w) -> log10p
         oov_log10p: float = -7.0,
     ) -> None:
         self.uni = uni
         self.bi = bi
+        self.tri = tri or {}
         self.oov_log10p = oov_log10p
+
+    @property
+    def order(self) -> int:
+        return 3 if self.tri else 2
 
     def _norm(self, w: str) -> str:
         wl = w.lower()
@@ -100,12 +110,23 @@ class ArpaLM:
         return e[0] if e is not None else self.oov_log10p
 
     def score(self, prev: str, cur: str) -> float:
+        """Bigram score with unigram backoff."""
         v, w = self._norm(prev), self._norm(cur)
         p = self.bi.get((v, w))
         if p is not None:
-            return p
+            return p[0]
         bo = self.uni.get(v, (0.0, 0.0))[1]
         return bo + self._uni_logp(w)
+
+    def score3(self, p2: str, p1: str, cur: str) -> float:
+        """Trigram score with the standard backoff chain:
+        p(w|u v) = trigram, else backoff(u v) + p(w|v)."""
+        u, v, w = self._norm(p2), self._norm(p1), self._norm(cur)
+        p = self.tri.get((u, v, w))
+        if p is not None:
+            return p
+        bo = self.bi.get((u, v), (0.0, 0.0))[1]
+        return bo + self.score(p1, cur)
 
     def perplexity(self, text: str, tokens: list[str] | None = None) -> float:
         from .textcore import tokenize
@@ -114,17 +135,23 @@ class ArpaLM:
         if len(ws) < 2:
             return 1.0
         lp = 0.0
-        for prev, cur in zip(ws, ws[1:]):
-            lp += self.score(prev, cur)
+        if self.tri:
+            lp += self.score(ws[0], ws[1])
+            for i in range(2, len(ws)):
+                lp += self.score3(ws[i - 2], ws[i - 1], ws[i])
+        else:
+            for prev, cur in zip(ws, ws[1:]):
+                lp += self.score(prev, cur)
         return float(round(10.0 ** (-lp / (len(ws) - 1)), 6))
 
 
 def load_arpa(path: str) -> ArpaLM:
-    """Parse an ARPA file (orders 1-2; higher orders rejected — the
-    engine's ppl stage is bigram-shaped; extend here for trigram+)."""
+    """Parse an ARPA file (orders 1-3; KenLM writes exactly this text
+    format). Higher orders are rejected with a clear error."""
     counts: dict[int, int] = {}
     uni: dict[str, tuple[float, float]] = {}
-    bi: dict[tuple[str, str], float] = {}
+    bi: dict[tuple[str, str], tuple[float, float]] = {}
+    tri: dict[tuple[str, str, str], float] = {}
     section = 0  # 0=preamble, 1=\data\, 2=n-grams
     order = 0
     with open(path, encoding="utf-8") as f:
@@ -137,9 +164,9 @@ def load_arpa(path: str) -> ArpaLM:
                 continue
             if line.startswith("\\") and line.endswith("-grams:"):
                 order = int(line[1:line.index("-")])
-                if order > 2:
+                if order > 3:
                     raise ValueError(
-                        f"ARPA order {order} unsupported (bigram engine)"
+                        f"ARPA order {order} unsupported (max trigram)"
                     )
                 section = 2
                 continue
@@ -162,13 +189,16 @@ def load_arpa(path: str) -> ArpaLM:
                 backoff = float(parts[2]) if len(parts) > 2 else 0.0
                 if order == 1:
                     uni[ngram] = (logp, backoff)
-                else:
+                elif order == 2:
                     v, w = ngram.split(" ")
-                    bi[(v, w)] = logp
+                    bi[(v, w)] = (logp, backoff)
+                else:
+                    u, v, w = ngram.split(" ")
+                    tri[(u, v, w)] = logp
     for n, c in counts.items():
-        have = len(uni) if n == 1 else len(bi)
+        have = {1: len(uni), 2: len(bi), 3: len(tri)}[n]
         if have != c:
             raise ValueError(
                 f"ARPA header declares {c} {n}-grams, file has {have}"
             )
-    return ArpaLM(uni, bi)
+    return ArpaLM(uni, bi, tri)

@@ -22,7 +22,7 @@ def test_arpa_parse_counts_and_entries():
     lm = ml.load_arpa(ARPA)
     assert len(lm.uni) == 5 and len(lm.bi) == 4
     assert lm.uni["the"] == (-0.60206, -0.30103)
-    assert lm.bi[("the", "cat")] == -0.30103
+    assert lm.bi[("the", "cat")] == (-0.30103, 0.0)
 
 
 def test_arpa_backoff_scoring():
@@ -44,6 +44,50 @@ def test_arpa_perplexity_matches_hand_math():
     want = round(10.0 ** (-lp / 2), 6)
     assert lm.perplexity("the cat sat") == want
     assert lm.perplexity("one") == 1.0  # <2 tokens
+
+
+TRI_ARPA = """\\data\\
+ngram 1=3
+ngram 2=2
+ngram 3=1
+
+\\1-grams:
+-0.5\tthe\t-0.2
+-0.7\tcat\t-0.1
+-0.9\tsat\t0.0
+
+\\2-grams:
+-0.3\tthe cat\t-0.15
+-0.4\tcat sat
+
+\\3-grams:
+-0.25\tthe cat sat
+
+\\end\\
+"""
+
+
+def test_arpa_trigram_backoff_chain(tmp_path):
+    """Order-3 parsing + the standard backoff chain: existing trigram ->
+    direct; missing trigram -> bigram backoff + bigram score."""
+    p = tmp_path / "tri.arpa"
+    p.write_text(TRI_ARPA)
+    lm = ml.load_arpa(str(p))
+    assert lm.order == 3
+    assert lm.score3("the", "cat", "sat") == -0.25
+    # (cat, sat, the): no trigram; backoff(cat sat)=0.0 + score(sat, the)
+    # score(sat, the): no bigram (sat the) -> backoff(sat)=0.0 + uni(the)
+    assert lm.score3("cat", "sat", "the") == pytest.approx(0.0 + 0.0 + -0.5)
+    # perplexity: first transition scored as bigram, rest as trigram
+    lp = lm.score("the", "cat") + lm.score3("the", "cat", "sat")
+    assert lm.perplexity("the cat sat") == round(10.0 ** (-lp / 2), 6)
+
+
+def test_arpa_order4_rejected(tmp_path):
+    p = tmp_path / "o4.arpa"
+    p.write_text("\\data\\\nngram 4=1\n\n\\4-grams:\n-1.0\ta b c d\n\\end\\\n")
+    with pytest.raises(ValueError, match="unsupported"):
+        ml.load_arpa(str(p))
 
 
 def test_arpa_header_count_mismatch_rejected(tmp_path):
