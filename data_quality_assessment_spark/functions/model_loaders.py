@@ -196,6 +196,13 @@ def load_arpa(path: str) -> ArpaLM:
                     u, v, w = ngram.split(" ")
                     tri[(u, v, w)] = logp
     for n, c in counts.items():
+        if n > 3:
+            # Some writers declare higher orders with zero entries
+            # ("ngram 4=0" and no section body): harmless, skip. A
+            # non-zero higher order is genuinely unsupported.
+            if c == 0:
+                continue
+            raise ValueError(f"ARPA order {n} unsupported (max 3)")
         have = {1: len(uni), 2: len(bi), 3: len(tri)}[n]
         if have != c:
             raise ValueError(

@@ -270,9 +270,16 @@ PHONE_RE = re.compile(
 )
 IPV4_RE = re.compile(r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])")
 # synthetic placeholder lexicon (FIXTURES.md F1e) — a real deployment drops
-# in a real lexicon via config; word-boundary, case-insensitive
+# in a real lexicon via config; word-boundary, case-insensitive.
+# re.ASCII pins case folding to A-Z<->a-z: without it, Unicode variants such
+# as 'QUANDRİX' (U+0130) or 'quandrıx' (U+0131) match the regex but not the
+# lowercase-substring fast-path gate in scrub_text, so the gate would silently
+# change behavior. ASCII folding makes the gate an exact necessary condition
+# and keeps the rule RE2-expressible for the DuckDB oracle.
 SLUR_LEXICON: tuple[str, ...] = ("grokflarp", "zibbleworst", "quandrix", "blortfang")
-SLUR_RE = re.compile(r"\b(?:" + "|".join(SLUR_LEXICON) + r")\b", re.IGNORECASE)
+SLUR_RE = re.compile(
+    r"\b(?:" + "|".join(SLUR_LEXICON) + r")\b", re.IGNORECASE | re.ASCII
+)
 
 EMAIL_TOKEN = "<EMAIL>"
 PHONE_TOKEN = "<PHONE>"

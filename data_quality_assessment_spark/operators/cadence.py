@@ -190,18 +190,26 @@ def cadence_stats_pandas(
     return df.groupBy(entity).applyInPandas(fn, schema)
 
 
-def outage_by_entity(df: DataFrame, entity: str, iat_col: str = "iat") -> DataFrame:
+def outage_by_entity(
+    df: DataFrame, entity: str, iat_col: str = "iat", *, sort_output: bool = True
+) -> DataFrame:
     """A10 (``scripts/PreProcessing.py:374-382``): IAT > 2*global-mean is an
-    'outage'; sum outage seconds per entity, descending."""
+    'outage'; sum outage seconds per entity, descending.
+
+    The descending sort is the reference's presentation semantics (O2);
+    pass ``sort_output=False`` from re-aggregating callers to skip the
+    global range-shuffle at high entity cardinality."""
     clean = df.filter(F.col(iat_col).isNotNull())
     mean = clean.agg(F.avg(iat_col).alias("_mu"))
     j = clean.crossJoin(F.broadcast(mean))
-    return (
+    out = (
         j.filter(F.col(iat_col) > 2 * F.col("_mu"))
         .groupBy(entity)
         .agg(F.round(F.sum(iat_col), 6).alias("outage_sec"))
-        .orderBy(F.desc("outage_sec"), F.col(entity))
     )
+    if sort_output:
+        return out.orderBy(F.desc("outage_sec"), F.col(entity))
+    return out
 
 
 def iqr_fences(df: DataFrame, col: str, alpha: float = 1.5) -> DataFrame:

@@ -91,21 +91,32 @@ def dedup_exact(
     )
 
 
-def entity_dup_counts(df: DataFrame, entity: str, keys: list[str]) -> DataFrame:
+def entity_dup_counts(
+    df: DataFrame, entity: str, keys: list[str], *, sort_output: bool = True
+) -> DataFrame:
     """D3: per-entity packet counts before vs after dedup; entities whose
     counts differ (reference drops equal ones,
-    ``scripts/PreProcessing.py:217-224``)."""
+    ``scripts/PreProcessing.py:217-224``).
+
+    ``dropDuplicates(keys)`` picks a nondeterministic WINNER, but only
+    the per-entity post-dedup COUNT survives, and the count is
+    winner-invariant — one survivor per distinct key group regardless of
+    which row wins (and ``entity`` is functionally determined by the key
+    here: reference keys always include the id column). Callers needing
+    a deterministic winner row route through :func:`dedup_exact`.
+
+    ``sort_output=True`` reproduces the reference's sorted presentation
+    (O2); pass False from re-aggregating callers — at 10^8 entities the
+    global sort is a needless full range-shuffle.
+    """
     pre = df.groupBy(entity).agg(F.count(F.lit(1)).alias("n_pre"))
     post = (
         df.dropDuplicates(keys)
         .groupBy(entity)
         .agg(F.count(F.lit(1)).alias("n_post"))
     )
-    return (
-        pre.join(post, entity)
-        .filter(F.col("n_pre") != F.col("n_post"))
-        .orderBy(entity)
-    )
+    out = pre.join(post, entity).filter(F.col("n_pre") != F.col("n_post"))
+    return out.orderBy(entity) if sort_output else out
 
 
 # ---------------------------------------------------------------------------

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _to_double(arr: Column) -> Column:
@@ -347,10 +348,16 @@ def ivf_topk(
             for cell in sorted(range(len(cb)),
                                key=lambda j: (-dots[j], j))[:nprobe]:
                 probe_rows.append((r[q_id_col], r[q_vec_col], cell))
-        q = corpus.sparkSession.createDataFrame(
-            probe_rows,
-            f"{q_id_col} long, {q_vec_col} array<float>, cell int",
-        )
+        # derive the probe schema from the incoming queries frame so
+        # string/int query ids and double-precision vectors round-trip
+        # unchanged (a hardcoded "long, array<float>" DDL would fail or
+        # silently narrow them)
+        probe_schema = T.StructType([
+            queries.schema[q_id_col],
+            queries.schema[q_vec_col],
+            T.StructField("cell", T.IntegerType()),
+        ])
+        q = corpus.sparkSession.createDataFrame(probe_rows, probe_schema)
     else:
         # expression path for LARGE query sets (distributed probe
         # computation); dots materialized once per row, then sorted

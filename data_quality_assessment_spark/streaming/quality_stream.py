@@ -148,14 +148,18 @@ def host_cadence_stateful(
             hist = dict(zip(keys, counts))
         else:
             last_ts, n, hist = None, 0, {}
-        for pdf in pdfs:
-            for ts in sorted(pdf["warc_ts"]):
-                t = ts.timestamp()
-                if last_ts is not None and t >= last_ts:
-                    iat = round(t - last_ts, 6)
-                    hist[iat] = hist.get(iat, 0) + 1
-                last_ts = t
-                n += 1
+        # Materialize the whole group's timestamps before sorting: a host
+        # whose rows span multiple Arrow chunks (default ~10k rows/chunk)
+        # must still be processed in one event-time order, or IATs would
+        # depend on nondeterministic chunk order. Bounded by per-batch
+        # group size, which the watermark/ingest-rate already bounds.
+        for ts in sorted(t for pdf in pdfs for t in pdf["warc_ts"]):
+            t = ts.timestamp()
+            if last_ts is not None and t >= last_ts:
+                iat = round(t - last_ts, 6)
+                hist[iat] = hist.get(iat, 0) + 1
+            last_ts = t
+            n += 1
         if len(hist) > _CADENCE_MAX_KEYS:
             keep = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))
             hist = dict(keep[:_CADENCE_MAX_KEYS])

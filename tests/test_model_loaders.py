@@ -162,3 +162,21 @@ def test_image_decode_seam_fake_and_fallback():
         buf = io.BytesIO()
         mm._PILImage.new("RGB", (3, 2)).save(buf, format="PNG")
         assert mm._decode_image(buf.getvalue()) == (3, 2)
+
+
+def test_arpa_zero_count_higher_order_ignored(tmp_path):
+    """Some tools emit 'ngram 4=0' in the header with no section body:
+    that must parse cleanly (not KeyError); a NON-zero undeclared-body
+    higher order still raises the clear unsupported-order error."""
+    ok = tmp_path / "z4.arpa"
+    ok.write_text(
+        "\\data\\\nngram 1=1\nngram 4=0\n\n\\1-grams:\n-0.5\tthe\t0.0\n\\end\\\n"
+    )
+    lm = ml.load_arpa(str(ok))
+    assert lm.score("x", "the") == -0.5
+    bad = tmp_path / "nz4.arpa"
+    bad.write_text(
+        "\\data\\\nngram 1=1\nngram 4=3\n\n\\1-grams:\n-0.5\tthe\t0.0\n\\end\\\n"
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        ml.load_arpa(str(bad))

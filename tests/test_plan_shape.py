@@ -159,3 +159,32 @@ def test_join_stat_forced_broadcast_hint(spark, pages_path):
     j = cadence._join_stat(df, stat, ["host"], broadcast=True)
     plan = _plan(j)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_sort_output_flags_drop_global_sort(spark):
+    """entity_dup_counts / outage_by_entity embed the reference's
+    presentation sort (O2). With sort_output=False the physical plan
+    must contain no global Sort (no rangepartitioning shuffle) — the
+    scale path for re-aggregating callers at 10^8 entities."""
+    from pyspark.sql import functions as F
+
+    from data_quality_assessment_spark.operators import cadence, dedup
+
+    df = spark.range(200).select(
+        (F.col("id") % 10).alias("ent"),
+        (F.col("id") % 40).alias("k"),
+        (F.col("id") % 7).cast("double").alias("iat"),
+    )
+    sorted_plan = _plan(dedup.entity_dup_counts(df, "ent", ["ent", "k"]))
+    unsorted_plan = _plan(
+        dedup.entity_dup_counts(df, "ent", ["ent", "k"], sort_output=False)
+    )
+    assert "rangepartitioning" in sorted_plan, sorted_plan
+    assert "rangepartitioning" not in unsorted_plan, unsorted_plan
+
+    sorted_plan = _plan(cadence.outage_by_entity(df, "ent"))
+    unsorted_plan = _plan(
+        cadence.outage_by_entity(df, "ent", sort_output=False)
+    )
+    assert "rangepartitioning" in sorted_plan, sorted_plan
+    assert "rangepartitioning" not in unsorted_plan, unsorted_plan

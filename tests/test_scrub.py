@@ -73,3 +73,24 @@ if HAVE_HYP:
         once, _ = scrub_text(t)
         twice, _ = scrub_text(once)
         assert once == twice
+
+
+def test_slur_ascii_case_folding_gate_exact():
+    """SLUR_RE is compiled with re.ASCII so the lowercase-substring
+    fast-path in scrub_text is an exact necessary condition: Unicode
+    case variants (U+0130 'İ', U+0131 'ı', U+017F 'ſ') neither match
+    the regex nor pass the gate — no silent gate/regex divergence."""
+    from data_quality_assessment_spark.functions.textcore import (
+        SLUR_RE, SLUR_LEXICON,
+    )
+
+    variants = ["QUANDRİX", "quandrıx", "blortfang".replace("s", "ſ")]
+    for t in variants:
+        scrubbed, counts = scrub_text(t)
+        gate = any(s in t.lower() for s in SLUR_LEXICON)
+        assert bool(SLUR_RE.search(t)) == gate, t
+        if not gate:
+            assert scrubbed == t and counts["toxicity_slur"] == 0, t
+    # plain ASCII case variants are still scrubbed
+    s, c = scrub_text("QUANDRIX and Quandrix and quandrix")
+    assert s == "<SLUR> and <SLUR> and <SLUR>" and c["toxicity_slur"] == 3

@@ -151,3 +151,121 @@ def test_stateful_cadence_carries_state_across_batches(spark, tmp_path):
     assert final["a"].n_pages == 10 and final["a"].mode_iat == 10.0
     assert final["b"].n_pages == 7 and final["b"].mode_iat == 5.0
     assert final["b"].n_iat == 6
+
+
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    """Explicit late-arrival semantics: with a watermarked windowed
+    aggregation in APPEND mode, a row arriving in a later batch whose
+    event time is older than (max event time seen - watermark) is
+    dropped — it never appears in any emitted window."""
+    import datetime as dt
+
+    inp = str(tmp_path / "late_in")
+    out = str(tmp_path / "late_out")
+    ck = str(tmp_path / "late_ck")
+    base = dt.datetime(2022, 1, 1, 0, 0, 0)
+
+    def page(host, sec):
+        return (
+            f"https://{host}/p{sec}",
+            base + dt.timedelta(seconds=sec),
+            None,
+            "x",
+            "en",
+        )
+
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    # batch 1: events at t=0..30m in window [0,1h), then t=3h (advances
+    # the max event time so the watermark passes the first window)
+    b1 = [page("h", 0), page("h", 600), page("h", 1800), page("h", 10800)]
+    spark.createDataFrame(b1, schema).write.parquet(inp)
+
+    def run():
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp)
+        )
+        q = (
+            qs.host_window_counts(s, window="1 hour", watermark="30 minutes")
+            .writeStream.foreachBatch(
+                lambda bdf, _id: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream did not finish"
+
+    run()
+    # batch 2: a LATE row back in the (already closed) first window —
+    # max event time is 3h, watermark horizon = 2.5h, so t=20min is late
+    spark.createDataFrame([page("h", 1200)], schema).write.mode(
+        "append"
+    ).parquet(inp)
+    run()
+
+    got = spark.read.parquet(out).collect()
+    first_window = [r for r in got if r.start == base]
+    # first window emitted exactly once with the 3 on-time rows; the
+    # late row neither re-emits the window nor bumps the count
+    assert len(first_window) == 1, got
+    assert first_window[0].n_pages == 3
+
+
+def test_stateful_cadence_multichunk_event_order(spark, tmp_path):
+    """Regression: a host whose micro-batch rows span multiple Arrow
+    record batches must still be processed in ONE event-time order.
+    Forced by shrinking spark.sql.execution.arrow.maxRecordsPerBatch
+    below the group size and feeding timestamps so any chunk-local sort
+    would miscount IATs (descending input: chunk-order processing would
+    skip most transitions as out-of-order)."""
+    import datetime as dt
+
+    inp = str(tmp_path / "mc_in")
+    ck = str(tmp_path / "mc_ck")
+    out = str(tmp_path / "mc_out")
+    base = dt.datetime(2022, 1, 1)
+    # one host, 500 rows at strict 7s cadence, written in DESCENDING
+    # event-time order so chunk boundaries matter
+    rows = [
+        ("h", base + dt.timedelta(seconds=7 * i))
+        for i in range(499, -1, -1)
+    ]
+    df = spark.createDataFrame(rows, "host string, warc_ts timestamp")
+    df.coalesce(1).write.parquet(inp)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        s = (
+            spark.readStream.schema("host string, warc_ts timestamp")
+            .parquet(inp)
+        )
+        q = (
+            qs.host_cadence_stateful(s)
+            .writeStream.foreachBatch(
+                lambda bdf, _id: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream did not finish"
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+
+    got = spark.read.parquet(out).collect()
+    final = max(got, key=lambda r: r.n_pages)
+    assert final.n_pages == 500
+    assert final.n_iat == 499  # every transition counted exactly once
+    assert final.mode_iat == 7.0
