@@ -930,6 +930,57 @@ SELECT vec_id, round(c, 4) AS cos FROM s ORDER BY c DESC, vec_id LIMIT 10
 """
 
 
+def q_ann_cosine_topk_hd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-dim (256) exact top-k through the VECTORIZED kernel
+    (``operators/similarity.py`` dim gate): the 64-dim test embeddings
+    are deterministically tiled 4x in BOTH engines, so the oracle checks
+    the Arrow/numpy fold path — the one a 768+-dim production corpus
+    takes — not the literal-expression plan."""
+    from data_quality_assessment_spark.operators.similarity import (
+        VEC_UDF_DIM_THRESHOLD, cosine,
+    )
+
+    dim = 4 * _LSH_DIM
+    assert dim >= VEC_UDF_DIM_THRESHOLD  # the gate must route to numpy
+    e = _load(spark, sf_dir, "embeddings").withColumn(
+        "hd", F.flatten(F.array_repeat(F.col("embedding"), 4))
+    )
+    q = (
+        e.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("qid"), F.col("hd").alias("qv"))
+    )
+    cos = cosine(F.col("hd"), F.col("qv"), dim)
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("vec_id", F.round(cos, 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+ORACLE_ANN_HD = """
+WITH t AS (
+  SELECT vec_id,
+    flatten([embedding, embedding, embedding, embedding]) AS hd
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, hd AS qv FROM t ORDER BY vec_id LIMIT 1),
+s AS (
+  SELECT t.vec_id,
+    list_sum(list_transform(generate_series(1, len(t.hd)),
+      i -> t.hd[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+    (sqrt(list_sum(list_transform(generate_series(1, len(t.hd)),
+      i -> t.hd[i]::DOUBLE * t.hd[i]::DOUBLE)))
+     * sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+      i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS c
+  FROM t, q WHERE t.vec_id <> q.qid
+)
+SELECT vec_id, round(c, 4) AS cos FROM s ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+
 def q_cadence_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 grouped-map applyInPandas path — same semantics as the columnar
     reg/outlier scores (oracle identical shape)."""
@@ -1515,11 +1566,13 @@ def q_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scrub output (rows-only: PHONE/IP lookbehinds are beyond RE2 /
-    DuckDB; byte-identity is pinned by the pandas-oracle parity test and
-    the email count by the ``pii_email_count`` oracle)."""
+    """The scrub output, materialized to full bytes (the engine-internal
+    form keeps scrubbed_text NULL when no rule fired — see
+    kernel.enrich_batch; this query ships what a consumer reads)."""
     pages = _pages(spark, sf_dir)
-    out = pipeline.run_pipeline(pages, DEFAULT_CONFIG)
+    out = pipeline.materialize_scrubbed(
+        pipeline.run_pipeline(pages, DEFAULT_CONFIG)
+    )
     return out.select("url", "scrubbed_text", "pii_email", "pii_ip",
                       "pii_phone", "toxicity_slur")
 
@@ -1779,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "pii_email_count": q_pii_email_count,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_hd": q_ann_cosine_topk_hd,
         "lsh_signature": q_lsh_signature,
         "lsh_topk": q_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1825,6 +1879,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": ORACLE_TOKEN_COUNT,
         "pii_email_count": ORACLE_PII_EMAIL,
         "ann_cosine_topk": ORACLE_ANN,
+        "ann_cosine_topk_hd": ORACLE_ANN_HD,
         "lsh_signature": _oracle_lsh_signature(),
         "lsh_topk": _oracle_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),

@@ -54,6 +54,12 @@ def enrich_batch(htmls, texts) -> dict[str, list]:
     # the frozen BigramLM scores straight from the shared ids array; a
     # swapped-in real LM (model_loaders.ArpaLM) scores from the tokens
     use_ids = hasattr(model, "perplexity_ids")
+    # real fastText langid when DQ_SPARK_FASTTEXT is set (per-worker
+    # singleton, numpy forward pass — model_loaders.FastTextModel);
+    # None -> the heuristic textcore.lang_id
+    from .model_loaders import get_fasttext
+
+    ft = get_fasttext()
     out: dict[str, list] = {k: [] for k in ENRICH_COLS}
     ap = {k: out[k].append for k in ENRICH_COLS}
     n_stop = textcore.N_STOPWORDS
@@ -68,7 +74,10 @@ def enrich_batch(htmls, texts) -> dict[str, list]:
         toks = textcore.tokenize(txt)
         nw = len(toks)
         ids = textcore.word_ids(toks)
-        lang, conf = textcore.lang_id(txt, toks, ids=ids)
+        lang, conf = (
+            ft.predict_lang(txt) if ft is not None
+            else textcore.lang_id(txt, toks, ids=ids)
+        )
         scrubbed, c = textcore.scrub_text(txt)
         ap["lang_pred"](lang)
         ap["lang_conf"](conf)
@@ -77,7 +86,19 @@ def enrich_batch(htmls, texts) -> dict[str, list]:
             else model.perplexity(txt, toks)
         )
         ap["top_bigram_share"](textcore.top_bigram_share(txt, toks))
-        ap["scrubbed_text"](scrubbed)
+        # NULL means "no scrub rule fired: scrubbed text == extracted
+        # text" (exactly when every rule count is 0 — a subn with n>0
+        # always changes the text). On clean web text (the common case)
+        # this shrinks the dominant Arrow output column to near zero —
+        # the UDF no longer echoes the whole document back to the JVM.
+        # Consumers needing the bytes coalesce via
+        # plans.pipeline.materialize_scrubbed (native extraction twin).
+        ap["scrubbed_text"](
+            scrubbed
+            if (c["pii_email"] or c["pii_ip"] or c["pii_phone"]
+                or c["toxicity_slur"])
+            else None
+        )
         ap["pii_email"](c["pii_email"])
         ap["pii_ip"](c["pii_ip"])
         ap["pii_phone"](c["pii_phone"])

@@ -22,10 +22,23 @@ Cost model (measured): the dim-expanded literal expressions compile to a
 ~4000-node plan that costs ~4 s of one-time driver analysis/codegen and
 ~0 per-row after that (80k rows ≈ 100 rows wall) — the right trade at
 cluster scale, where a plan is built once and applied to 10^9+ rows.
+
+That trade inverts at real embedding dims: 768-4096 dims mean 50k-250k
+expression nodes per operator and the DRIVER chokes on analysis/codegen
+before a single row flows. Every dim-taking entry point therefore gates
+on ``VEC_UDF_DIM_THRESHOLD``: above it, the math moves into ONE
+Arrow-batched pandas UDF doing the identical left-to-right fold in
+numpy (vectorized across the batch rows, sequential across components —
+bit-identical sums to the literal-expression chain and the DuckDB
+oracle for finite inputs), so the plan stays O(1) nodes at any dim.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -58,10 +71,68 @@ def _sum_chain(terms: list[Column]) -> Column:
     return acc
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Cosine similarity. With ``dim`` known, flat codegen arithmetic
-    (left-to-right, same fold order as the HOF path and the DuckDB
-    oracle); without, interpreted HOF folds (any-dim fallback)."""
+# Above this dim the literal-expression paths switch to the vectorized
+# pandas-UDF kernels: the literal plan is O(dim) expression nodes per
+# operator (fine at the 64-dim test geometry, ~4s driver analysis; a
+# 768-dim corpus would be ~50k nodes and minutes of driver time), while
+# the UDF plan is O(1) nodes at any dim.
+VEC_UDF_DIM_THRESHOLD = 128
+
+
+def _use_vectorized(dim: int | None, vectorized: bool | None) -> bool:
+    if vectorized is not None:
+        return vectorized
+    return dim is not None and dim >= VEC_UDF_DIM_THRESHOLD
+
+
+def _stack_f64(series) -> "object":
+    """pandas Series of fixed-width float arrays -> (n, dim) float64."""
+    import numpy as np
+
+    return np.stack(series.to_numpy()).astype(np.float64)
+
+
+def _seq_fold_np(mat):
+    """Left-to-right sum over axis 1 — the EXACT fold order of
+    ``_sum_chain``/``_dot_literal`` and the DuckDB oracle (numpy's own
+    ``sum``/``matmul`` use pairwise/SIMD summation, which rounds
+    differently). Vectorized across rows, sequential across components:
+    dim passes over an (n,) accumulator instead of n*dim Python ops."""
+    acc = mat[:, 0].copy()
+    for i in range(1, mat.shape[1]):
+        acc += mat[:, i]
+    return acc
+
+
+def _cosine_vec_udf() -> Column:
+    """(vec_a, vec_b) -> cosine, Arrow-batched; same expression order as
+    the literal path: dot/(sqrt(na)*sqrt(nb)) with left-to-right sums."""
+    @F.pandas_udf("double")
+    def _cos(
+        it: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        for a, b in it:
+            A = _stack_f64(a)
+            B = _stack_f64(b)
+            dot = _seq_fold_np(A * B)
+            na = _seq_fold_np(A * A)
+            nb = _seq_fold_np(B * B)
+            yield pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return _cos
+
+
+def cosine(
+    a: Column, b: Column, dim: int | None = None,
+    *, vectorized: bool | None = None,
+) -> Column:
+    """Cosine similarity. With ``dim`` known and below the threshold,
+    flat codegen arithmetic (left-to-right, same fold order as the HOF
+    path and the DuckDB oracle); at high dim (or ``vectorized=True``)
+    one Arrow-batched numpy kernel with the same fold order; without
+    ``dim``, interpreted HOF folds (any-dim fallback)."""
+    if _use_vectorized(dim, vectorized):
+        return _cosine_vec_udf()(a, b)
     if dim is not None:
         ad = [a[i].cast("double") for i in range(dim)]
         bd = [b[i].cast("double") for i in range(dim)]
@@ -168,13 +239,60 @@ def _dot_literal(vec: Column, weights: list[float]) -> Column:
     return acc
 
 
+def _matrix_dots_vec_udf(weights: list[list[float]]) -> Column:
+    """vec -> array<double> of dot(vec, w_row) for every weight row, one
+    Arrow-batched kernel. Fold order: left-to-right over components
+    (identical to ``_dot_literal``; weight rows including exact-0.0
+    entries add ±0.0 terms the literal path skips — a no-op for finite
+    inputs). The weight matrix is a plain closure constant: it ships
+    once per executor in the serialized UDF, no model state."""
+    W = np.asarray(weights, dtype=np.float64).T  # (dim, n_rows)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _dots(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for a in it:
+            A = _stack_f64(a)  # (n, dim)
+            acc = A[:, 0:1] * W[0:1, :]
+            for i in range(1, A.shape[1]):
+                acc = acc + A[:, i : i + 1] * W[i : i + 1, :]
+            yield pd.Series(list(acc))
+
+    return _dots
+
+
 def lsh_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
-    """Sign-bit signature: bit j = 1 iff dot(vec, plane_j) > 0."""
+    """Sign-bit signature: bit j = 1 iff dot(vec, plane_j) > 0.
+
+    Literal-expression form (test geometry / low dims). High-dim callers
+    use :func:`with_lsh_signature`, which gates to the vectorized kernel
+    and materializes the dots before bit-packing."""
     acc = F.lit(0).cast("long")
     for j in range(n_planes):
         dot = _dot_literal(vec, hyperplane_weights(j, dim))
         acc = acc + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
     return acc
+
+
+def with_lsh_signature(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 16,
+    out_col: str = "sig", *, vectorized: bool | None = None,
+) -> DataFrame:
+    """Adds the sign-bit signature column. In vectorized mode the plane
+    dots are MATERIALIZED as one UDF column before bit-packing — element
+    references into the raw UDF expression would risk re-evaluating the
+    kernel per bit (the HOF-CodegenFallback lesson, dedup.py)."""
+    if _use_vectorized(dim, vectorized):
+        planes = [hyperplane_weights(j, dim) for j in range(n_planes)]
+        d = df.withColumn("_pdots", _matrix_dots_vec_udf(planes)(F.col(vec_col)))
+        acc = F.lit(0).cast("long")
+        for j in range(n_planes):
+            acc = acc + F.when(
+                F.col("_pdots")[j] > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0))
+        return d.withColumn(out_col, acc).drop("_pdots")
+    return df.withColumn(
+        out_col, lsh_signature(F.col(vec_col), dim, n_planes)
+    )
 
 
 def lsh_topk(
@@ -195,7 +313,7 @@ def lsh_topk(
     standard extension — implemented here as probing the exact bucket
     plus all 1-bit neighbors of the query signature.
     """
-    c = corpus.withColumn("sig", lsh_signature(F.col(vec_col), dim, n_planes))
+    c = with_lsh_signature(corpus, vec_col, dim, n_planes, "sig")
     probes = F.array(
         F.col("q_sig"),
         *[
@@ -204,9 +322,7 @@ def lsh_topk(
         ],
     )
     q = (
-        queries.withColumn(
-            "q_sig", lsh_signature(F.col(q_vec_col), dim, n_planes)
-        )
+        with_lsh_signature(queries, q_vec_col, dim, n_planes, "q_sig")
         .withColumn("sig", F.explode(probes))
         .drop("q_sig")
     )
@@ -284,13 +400,21 @@ def ivf_cell(vec: Column, codebook: list[list[float]]) -> Column:
 
 def with_ivf_cell(
     df: DataFrame, vec_col: str, codebook: list[list[float]],
-    out_col: str = "cell",
+    out_col: str = "cell", *, vectorized: bool | None = None,
 ) -> DataFrame:
     """Adds the coarse-cell column with the dots array MATERIALIZED once
     (measured ~3x on the assignment stage vs the inline double
     reference — same CollapseProject behavior as the minhash signatures,
-    see textstats.py module notes)."""
-    d = df.withColumn("_dots", _cell_dots(F.col(vec_col), codebook))
+    see textstats.py module notes). High dims gate to the vectorized
+    kernel: |C| x |dim| literal nodes would choke driver analysis at
+    768+ dims."""
+    dim = len(codebook[0]) if codebook else 0
+    if _use_vectorized(dim, vectorized):
+        d = df.withColumn(
+            "_dots", _matrix_dots_vec_udf(codebook)(F.col(vec_col))
+        )
+    else:
+        d = df.withColumn("_dots", _cell_dots(F.col(vec_col), codebook))
     return (
         d.withColumn(
             out_col,
@@ -360,20 +484,38 @@ def ivf_topk(
         q = corpus.sparkSession.createDataFrame(probe_rows, probe_schema)
     else:
         # expression path for LARGE query sets (distributed probe
-        # computation); dots materialized once per row, then sorted
-        pairs = F.array(*[
-            F.struct(
-                (-_dot_literal(F.col(q_vec_col), cent)).alias("nd"),
-                F.lit(i).cast("int").alias("c"),
+        # computation); dots materialized once per row, then sorted.
+        # High dims: dots come from the vectorized kernel instead of
+        # |C| x |dim| literal nodes — the pair structs then reference
+        # the MATERIALIZED array, same node count either way.
+        dim_cb = len(cb[0]) if cb else 0
+        if _use_vectorized(dim_cb, None):
+            qd = queries.withColumn(
+                "_cdots", _matrix_dots_vec_udf(cb)(F.col(q_vec_col))
             )
-            for i, cent in enumerate(cb)
-        ])
+            pairs = F.array(*[
+                F.struct(
+                    (-F.col("_cdots")[i]).alias("nd"),
+                    F.lit(i).cast("int").alias("c"),
+                )
+                for i in range(len(cb))
+            ])
+        else:
+            qd = queries
+            pairs = F.array(*[
+                F.struct(
+                    (-_dot_literal(F.col(q_vec_col), cent)).alias("nd"),
+                    F.lit(i).cast("int").alias("c"),
+                )
+                for i, cent in enumerate(cb)
+            ])
         q = (
-            queries.withColumn("_sorted", F.sort_array(pairs))
+            qd.withColumn("_sorted", F.sort_array(pairs))
             .withColumn("cell", F.explode(F.transform(
                 F.slice("_sorted", 1, nprobe), lambda s: s["c"]
             )))
             .drop("_sorted")
+            .drop("_cdots")
         )
     j = c.join(q, "cell")
     scored = j.select(

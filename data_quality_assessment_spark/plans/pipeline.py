@@ -139,6 +139,33 @@ def scrub(df: DataFrame) -> DataFrame:
     return df
 
 
+def extracted_text_col() -> Column:
+    """Native (whole-stage-codegen) twin of ``textcore.extract_text``:
+    decode html then strip tags, else the text column. Identical bytes
+    for valid UTF-8 input (the fixture/Common-Crawl-WET contract);
+    malformed byte sequences may differ in U+FFFD count between the JVM
+    and Python decoders — callers needing that edge exact use
+    ``extract_text_udf``."""
+    return F.when(
+        F.col("html").isNotNull(),
+        F.regexp_replace(F.decode(F.col("html"), "UTF-8"), "<[^>]*>", ""),
+    ).otherwise(F.coalesce(F.col("text"), F.lit("")))
+
+
+def materialize_scrubbed(df: DataFrame) -> DataFrame:
+    """Fill the NULL-means-unchanged ``scrubbed_text`` convention back to
+    full text (see kernel.enrich_batch): NULL rows get the extracted
+    text via the native twin — JVM-side codegen, no second Python pass.
+    Call this only at sinks that must ship the bytes; inside the DAG the
+    NULL form keeps the Arrow/shuffle/parquet footprint near zero on
+    clean web text. Requires the html/text source columns still present
+    (i.e. before ``pages_out``'s projection)."""
+    return df.withColumn(
+        "scrubbed_text",
+        F.coalesce(F.col("scrubbed_text"), extracted_text_col()),
+    )
+
+
 def verdict(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """keep verdict + rules_fired lineage + quality_score in [0,1]."""
     drops = drop_rules(cfg)
@@ -216,6 +243,9 @@ def host_cadence(pages: DataFrame) -> DataFrame:
     )
 
 
+# scrubbed_text carries the NULL-means-unchanged convention (kernel.py):
+# NULL <=> no scrub rule fired <=> scrubbed == extracted text. Apply
+# materialize_scrubbed BEFORE this projection to ship full bytes.
 OUTPUT_COLUMNS = [
     "url", "warc_ts", "host", "lang", "lang_pred", "lang_conf", "ppl",
     "nw", "mean_wl", "symbol_ratio", "stopword_frac", "dup_line_frac",

@@ -35,7 +35,8 @@ def _reference_enrich(html, text):
         "lang_conf": conf,
         "ppl": get_model().perplexity(txt, toks),
         "top_bigram_share": textcore.top_bigram_share(txt, toks),
-        "scrubbed_text": scrubbed,
+        # NULL-means-unchanged convention (kernel.py docstring)
+        "scrubbed_text": scrubbed if any(c.values()) else None,
         "pii_email": c["pii_email"],
         "pii_ip": c["pii_ip"],
         "pii_phone": c["pii_phone"],

@@ -180,3 +180,191 @@ def test_arpa_zero_count_higher_order_ignored(tmp_path):
     )
     with pytest.raises(ValueError, match="unsupported"):
         ml.load_arpa(str(bad))
+
+
+# ---------------------------------------------------------------------------
+# fastText .bin forward pass
+# ---------------------------------------------------------------------------
+
+
+def _write_ft_bin(path, words, labels, input_mat, output_mat, *,
+                  dim, bucket=0, minn=0, maxn=0, word_ngrams=1, loss=3):
+    """Synthesize an unquantized supervised .bin in the exact layout of
+    FastText::saveModel (public format; see model_loaders.load_fasttext)."""
+    import struct
+
+    import numpy as np
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", ml.FASTTEXT_MAGIC, 12))
+        f.write(struct.pack(
+            "<12i", dim, 5, 5, 1, 5, word_ngrams, loss, 3, bucket, minn, maxn, 100
+        ))
+        f.write(struct.pack("<d", 1e-4))
+        size = len(words) + len(labels)
+        f.write(struct.pack("<3i", size, len(words), len(labels)))
+        f.write(struct.pack("<2q", 1000, 0))  # ntokens, pruneidx_size
+        for w in words:
+            f.write(w.encode("utf-8") + b"\x00" + struct.pack("<qb", 10, 0))
+        for la in labels:
+            f.write(la.encode("utf-8") + b"\x00" + struct.pack("<qb", 5, 1))
+        f.write(struct.pack("<?", False))
+        im = np.asarray(input_mat, dtype="<f4")
+        f.write(struct.pack("<2q", *im.shape))
+        f.write(im.tobytes())
+        f.write(struct.pack("<?", False))
+        om = np.asarray(output_mat, dtype="<f4")
+        f.write(struct.pack("<2q", *om.shape))
+        f.write(om.tobytes())
+
+
+def test_fasttext_hash_pinned():
+    """FNV-1a 32 over UTF-8 bytes — pinned against hand-computed values
+    so the hashing can't silently drift from the fastText dictionary."""
+    h = 2166136261
+    for b in b"ab":
+        h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    assert ml.ft_hash("ab") == h
+    assert ml.ft_hash("") == 2166136261
+
+
+def test_fasttext_forward_pass_softmax(tmp_path):
+    """Dim-4, no buckets: hidden = mean of token rows (incl. EOS),
+    probs = softmax(output @ hidden) — checked against independent
+    numpy math on the same weights."""
+    import numpy as np
+
+    words = ["bonjour", "monde", "hello", "world", "</s>"]
+    labels = ["__label__fr", "__label__en"]
+    rng = np.random.RandomState(3)
+    im = rng.randn(5, 4).astype(np.float32)
+    om = rng.randn(2, 4).astype(np.float32)
+    p = tmp_path / "m.bin"
+    _write_ft_bin(p, words, labels, im, om, dim=4)
+    m = ml.load_fasttext(str(p))
+
+    got = m.predict("bonjour monde", k=2)
+    hidden = im[[0, 1, 4]].mean(axis=0)  # bonjour, monde, </s>
+    logits = om @ hidden
+    e = np.exp(logits - logits.max())
+    probs = e / e.sum()
+    want = sorted(zip(labels, probs), key=lambda x: -x[1])
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gl, gp), (wl, wp) in zip(got, want):
+        assert gp == pytest.approx(float(wp), abs=1e-6)
+
+
+def test_fasttext_oov_and_empty(tmp_path):
+    import numpy as np
+
+    words = ["a", "</s>"]
+    labels = ["__label__x"]
+    p = tmp_path / "m2.bin"
+    _write_ft_bin(p, words, labels, np.eye(2, 3), np.ones((1, 3)), dim=3)
+    m = ml.load_fasttext(str(p))
+    # OOV tokens with maxn=0 contribute nothing; EOS still anchors
+    lab, prob = m.predict_lang("zzz unknown tokens")
+    assert lab == "x" and 0 < prob <= 1
+    rows, _ = m._line_rows("zzz")
+    assert rows == [1]  # only </s>
+
+
+def test_fasttext_subword_buckets(tmp_path):
+    """minn=2/maxn=3: in-vocab AND OOV words pull char-ngram rows from
+    the bucket range [nwords, nwords+bucket); one ngram hash pinned by
+    hand so computeSubwords can't drift."""
+    import numpy as np
+
+    bucket = 7
+    words = ["cat", "</s>"]
+    labels = ["__label__y"]
+    p = tmp_path / "m3.bin"
+    _write_ft_bin(
+        p, words, labels, np.ones((2 + bucket, 2)), np.ones((1, 2)),
+        dim=2, bucket=bucket, minn=2, maxn=3,
+    )
+    m = ml.load_fasttext(str(p))
+    rows, _ = m._line_rows("cat dog")
+    # "cat": word id 0 + subwords of "<cat>"; "dog" OOV: subwords only
+    assert 0 in rows
+    sub_rows = [r for r in rows if r >= 2]
+    assert sub_rows  # bucket rows present
+    assert all(2 <= r < 2 + bucket for r in sub_rows)
+    # hand-derived: subword list of "<cat>" per computeSubwords includes
+    # the 2-gram "<c" (n=2 >= minn, not excluded)
+    assert (2 + ml.ft_hash("<c") % bucket) in rows
+    # full-token unigram "<cat>" spans BOW..EOW at n=3? no — "cat" is
+    # 3 chars, "<cat>" is 5; ngrams are length<=3 so no full-span entry
+
+
+def test_fasttext_word_ngrams(tmp_path):
+    """wordNgrams=2: consecutive token-hash pairs hash into the bucket
+    range with the rolling 116049371 multiplier."""
+    import numpy as np
+
+    bucket = 11
+    words = ["a", "b", "</s>"]
+    labels = ["__label__z"]
+    p = tmp_path / "m4.bin"
+    _write_ft_bin(
+        p, words, labels, np.ones((3 + bucket, 2)), np.ones((1, 2)),
+        dim=2, bucket=bucket, word_ngrams=2,
+    )
+    m = ml.load_fasttext(str(p))
+    rows, hashes = m._line_rows("a b")
+    h_ab = (ml.ft_hash("a") * 116049371 + ml.ft_hash("b")) % (1 << 64) % bucket
+    assert (3 + h_ab) in rows
+    assert hashes == [ml.ft_hash("a"), ml.ft_hash("b"), ml.ft_hash("</s>")]
+
+
+def test_fasttext_quantized_rejected(tmp_path):
+    import struct
+
+    import numpy as np
+
+    p = tmp_path / "q.ftz"
+    _write_ft_bin(p, ["a", "</s>"], ["__label__x"], np.ones((2, 2)),
+                  np.ones((1, 2)), dim=2)
+    data = bytearray(p.read_bytes())
+    # flip the quant_input bool (directly after dict): find it by
+    # re-walking the layout via the loader's own offsets is overkill —
+    # rewrite the file with quant byte True
+    with open(p, "wb") as f:
+        f.write(struct.pack("<ii", ml.FASTTEXT_MAGIC, 12))
+        f.write(struct.pack("<12i", 2, 5, 5, 1, 5, 1, 3, 3, 0, 0, 0, 100))
+        f.write(struct.pack("<d", 1e-4))
+        f.write(struct.pack("<3i", 1, 1, 0))
+        f.write(struct.pack("<2q", 10, 0))
+        f.write(b"a\x00" + struct.pack("<qb", 10, 0))
+        f.write(struct.pack("<?", True))  # quantized input
+    with pytest.raises(NotImplementedError, match="quantized"):
+        ml.load_fasttext(str(p))
+
+
+def test_fasttext_kernel_seam(tmp_path, monkeypatch):
+    """DQ_SPARK_FASTTEXT set -> enrich kernel's lang_pred comes from the
+    model; unset -> heuristic unchanged."""
+    import numpy as np
+
+    from data_quality_assessment_spark.functions import kernel
+    from data_quality_assessment_spark.functions import model_loaders as mlm
+
+    words = ["bonjour", "</s>"]
+    labels = ["__label__fr", "__label__en"]
+    im = np.zeros((2, 2), dtype=np.float32)
+    im[0] = [5.0, 0.0]
+    om = np.array([[1.0, 0.0], [-1.0, 0.0]], dtype=np.float32)
+    p = tmp_path / "lid.bin"
+    _write_ft_bin(p, words, labels, im, om, dim=2)
+
+    monkeypatch.setenv("DQ_SPARK_FASTTEXT", str(p))
+    mlm._FT_SINGLETON = None  # reset the worker singleton
+    out = kernel.enrich_batch([None], ["bonjour bonjour"])
+    assert out["lang_pred"][0] == "fr"
+    assert 0.5 < out["lang_conf"][0] <= 1.0
+
+    monkeypatch.delenv("DQ_SPARK_FASTTEXT")
+    mlm._FT_SINGLETON = None
+    mlm._FT_SINGLETON_PATH = None
+    out2 = kernel.enrich_batch([None], ["the data and the page"])
+    assert out2["lang_pred"][0] == "en"  # heuristic path restored

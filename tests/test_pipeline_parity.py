@@ -7,6 +7,7 @@ import pandas as pd
 import pytest
 
 from data_quality_assessment_spark.plans.pipeline import (
+    materialize_scrubbed,
     pages_out,
     run_pipeline,
 )
@@ -18,7 +19,11 @@ from tests.oracle import oracle_pipeline
 def result(spark):
     pdf = gen_pages(1200, seed=42)
     sdf = spark.createDataFrame(pdf)
-    out = pages_out(run_pipeline(sdf)).toPandas()
+    # materialize_scrubbed fills NULL-means-unchanged back to full text
+    # (the sink path a consumer shipping bytes runs) — so the byte-
+    # identity assertion below covers BOTH the kernel's scrubbed output
+    # and the native-extraction coalesce twin
+    out = pages_out(materialize_scrubbed(run_pipeline(sdf))).toPandas()
     ora = oracle_pipeline(pdf)
     m = out.merge(ora, on="url", suffixes=("_s", "_o"), how="outer", indicator=True)
     assert (m["_merge"] == "both").all()
