@@ -1577,6 +1577,120 @@ def q_pipeline_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "pii_phone", "toxicity_slur")
 
 
+def _oracle_pipeline_scrub_sql() -> str:
+    """Full scrub twin in DuckDB/RE2. RE2 has no lookarounds, so the
+    PHONE/IP stages run a RECURSIVE leftmost scan that emulates
+    Python's zero-width boundary assertions exactly:
+
+      state = (done, ctx, rest); each step finds the FIRST match of
+      ``(lead)(CORE)($|[^cls])`` in ctx||rest, where ctx is a 1-char
+      stand-in for the character immediately before rest — '' at the
+      start of the string, and the pseudo-digit '0' after a replacement
+      (every PHONE/IP match ends in a digit, so Python's lookbehind
+      after a match is always digit-blocked). The matched span up to
+      the sentinel moves into ``done`` with the token substituted; the
+      re-emitted TRAIL character stays at the head of ``rest`` (Python
+      lookaheads are zero-width — the next match may start on the trail
+      character itself). Iterations = matches per document.
+
+    Simpler rewrites are provably wrong, not just inelegant: a global
+    boundary-consuming replace steals inner matches from longer
+    overlapping ones ("044-2345678.(555) 123-4567" must scrub
+    "(555) 123-4567" whole, not "123-4567"), and substituting final
+    tokens into rescanned text lets "<PHONE>"'s '>' unblock matches the
+    original trailing digit blocked ("044-2345678+91-9876543210"
+    scrubs only the first number). Both are pinned as test cases in
+    tests/test_scrub_oracle.py, which property-tests this SQL against
+    ``textcore.scrub_text`` byte-for-byte (counts included) over
+    adversarial adjacency chains. Assumes input text contains no chr(1)
+    byte (the match sentinel) — true for web-text fixtures.
+
+    EMAIL (no lookarounds) and SLUR (RE2 supports \\b; the lexicon and
+    Python side are ASCII-folded) remain single global replaces. Rule
+    order and staging mirror textcore._SCRUB_ORDER:
+    email -> ip -> phone -> slur.
+    """
+    from data_quality_assessment_spark.functions.textcore import (
+        EMAIL_RE, IP_CORE, PHONE_CORE, SLUR_LEXICON,
+    )
+
+    email = EMAIL_RE.pattern
+    slur = r"(?i)\b(?:" + "|".join(SLUR_LEXICON) + r")\b"
+
+    def scan_stage(name, src_cte, carry, core, cls, token):
+        """Recursive-CTE scan for one lookaround rule. carry = columns
+        dragged through unchanged (comma-joined string)."""
+        first = f"(^|[^{cls}])({core})($|[^{cls}])"
+        nxt = f"([^{cls}])({core})($|[^{cls}])"
+        rep = "'\\1' || chr(1) || '\\3'"
+        return f"""
+{name}_scan AS (
+  SELECT url, {carry}, '' AS done, '' AS ctx, t AS rest, 0 AS n
+  FROM {src_cte}
+  UNION ALL
+  SELECT url, {carry},
+    done || substr(s, len(ctx) + 1, strpos(s, chr(1)) - len(ctx) - 1)
+         || '{token}',
+    '0' AS ctx,
+    substr(s, strpos(s, chr(1)) + 1) AS rest,
+    n + 1
+  FROM (
+    SELECT url, {carry}, done, ctx, n,
+      CASE WHEN ctx = ''
+        THEN regexp_replace(rest, '{first}', {rep})
+        ELSE regexp_replace(ctx || rest, '{nxt}', {rep})
+      END AS s
+    FROM {name}_scan
+  ) WHERE strpos(s, chr(1)) > 0
+),
+{name} AS (
+  SELECT url, {carry}, done || rest AS t, n
+  FROM (
+    SELECT url, {carry}, done, rest, n,
+      row_number() OVER (PARTITION BY url ORDER BY n DESC) AS rn
+    FROM (
+      SELECT url, {carry}, done, ctx, rest, n,
+        CASE WHEN ctx = ''
+          THEN regexp_replace(rest, '{first}', {rep})
+          ELSE regexp_replace(ctx || rest, '{nxt}', {rep})
+        END AS s
+      FROM {name}_scan
+    ) WHERE strpos(s, chr(1)) = 0
+  ) WHERE rn = 1
+)"""
+
+    ip_stage = scan_stage(
+        "ip", "e", "pii_email", IP_CORE, "0-9.", "<IP>"
+    )
+    ph_stage = scan_stage(
+        "ph", "ipf", "pii_email, pii_ip", PHONE_CORE, "0-9A-Za-z",
+        "<PHONE>",
+    )
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT 'https://' || source || '/' || doc_id::VARCHAR AS url,
+    CASE WHEN text IS NULL THEN ''
+         ELSE regexp_replace(text, '<[^>]*>', '', 'g') END AS txt
+  FROM documents
+),
+e AS (
+  SELECT url,
+    len(regexp_extract_all(txt, '{email}'))::INT AS pii_email,
+    regexp_replace(txt, '{email}', '<EMAIL>', 'g') AS t
+  FROM base
+),{ip_stage},
+ipf AS (SELECT url, pii_email, t, n::INT AS pii_ip FROM ip),{ph_stage},
+phf AS (
+  SELECT url, pii_email, pii_ip, t, n::INT AS pii_phone FROM ph
+)
+SELECT url,
+  regexp_replace(t, '{slur}', '<SLUR>', 'g') AS scrubbed_text,
+  pii_email, pii_ip, pii_phone,
+  len(regexp_extract_all(t, '{slur}'))::INT AS toxicity_slur
+FROM phf
+"""
+
+
 def q_doc_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_quality_assessment_spark.functions.udfs import annotate_udf
 
@@ -1888,7 +2002,9 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": ORACLE_FRAME_SAMPLE,
         "doc_ppl": _oracle_doc_ppl_sql(),
         "pipeline_verdict": _oracle_pipeline_verdict_sql(),
-        # pipeline_scrub: rows-only — PHONE/IP lookbehind regexes are not
-        # RE2/DuckDB-expressible; byte-identity is pinned by
-        # tests/test_pipeline_parity.py and the pii_email_count oracle
+        # scrub oracle: the lookbehind/lookahead assertions are rewritten
+        # as two-pass boundary-consuming replaces (see
+        # _oracle_pipeline_scrub_sql) — RE2 lacks lookarounds, not the
+        # semantics
+        "pipeline_scrub": _oracle_pipeline_scrub_sql(),
     }

@@ -74,21 +74,82 @@ except ImportError:
     _PILImage = None
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# SOF markers carry the frame dimensions; C4/C8/CC look like SOF but are
+# DHT/JPG-extension/DAC tables
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def png_dimensions(blob: bytes) -> tuple[int, int] | None:
+    """(width, height) from the IHDR chunk (PNG spec: 8-byte signature,
+    then the mandatory first chunk IHDR with big-endian u32 w, h)."""
+    if len(blob) < 24 or blob[:8] != _PNG_SIG or blob[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", blob[16:24])
+    return (w, h)
+
+
+def jpeg_dimensions(blob: bytes) -> tuple[int, int] | None:
+    """(width, height) from the first SOFn segment: walk the marker
+    stream (0xFF marker, u16 length incl. itself), skipping APPn/COM/
+    quantization tables, until a start-of-frame; its payload is
+    precision u8, height u16be, width u16be (JPEG/JFIF spec)."""
+    if len(blob) < 4 or blob[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(blob)
+    while i + 3 < n:
+        if blob[i] != 0xFF:
+            return None  # desynced — not a well-formed marker stream
+        while i < n and blob[i] == 0xFF:  # fill bytes are legal padding
+            i += 1
+        if i >= n:
+            return None
+        marker = blob[i]
+        i += 1
+        if 0xD0 <= marker <= 0xD9:  # RSTn/SOI/EOI: no length field
+            continue
+        if i + 1 >= n:
+            return None
+        seg_len = struct.unpack(">H", blob[i:i + 2])[0]
+        if marker in _JPEG_SOF:
+            if i + 7 > n:
+                return None
+            h, w = struct.unpack(">HH", blob[i + 3:i + 7])
+            return (w, h)
+        i += seg_len
+    return None
+
+
+def gif_dimensions(blob: bytes) -> tuple[int, int] | None:
+    """(width, height) from the logical screen descriptor (little-endian
+    u16 pair right after the GIF87a/GIF89a signature)."""
+    if len(blob) < 10 or blob[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", blob[6:10])
+    return (w, h)
+
+
 def _decode_image(blob: bytes) -> tuple[int, int]:
     """Seam: returns (width, height). The deterministic FAKE container
-    always decodes; real formats go through PIL when it is installed
-    (optional import), else raise NotImplementedError — both paths are
-    unit-tested (tests/test_model_loaders.py)."""
+    and real JPEG/PNG/GIF headers decode dependency-free (the metadata
+    stage of a web crawl never needs pixel data); full pixel decode for
+    other formats goes through PIL when installed (optional import),
+    else raises NotImplementedError — all paths unit-tested."""
     if blob[:8] == IMG_MAGIC:
         return struct.unpack(">HH", blob[8:12])
+    for parse in (png_dimensions, jpeg_dimensions, gif_dimensions):
+        wh = parse(blob)
+        if wh is not None:
+            return wh
     if _PILImage is not None:
         import io
 
         with _PILImage.open(io.BytesIO(blob)) as im:
             return im.size
     raise NotImplementedError(
-        "real image codecs unavailable in this container (PIL/cv2); "
-        "only the FAKEIMG1 container decodes here"
+        "unrecognized image format and no PIL in this container; "
+        "FAKEIMG1, JPEG, PNG and GIF headers decode natively"
     )
 
 

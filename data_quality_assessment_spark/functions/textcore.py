@@ -259,16 +259,24 @@ def lang_id(
 # ---------------------------------------------------------------------------
 
 EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
-PHONE_RE = re.compile(
-    r"(?<![\dA-Za-z])"
+# PHONE/IP compiled with re.ASCII so \d means [0-9] exactly (without it,
+# Python \d matches Unicode digits — Arabic-Indic numerals scrubbed as
+# "phone numbers" is wrong, and the rule stops being RE2/DuckDB-
+# expressible). The *_CORE strings are shared with the generated DuckDB
+# scrub oracle, which rewrites the lookarounds as boundary-consuming
+# groups (RE2 has no lookarounds; see __spark_entry__ scrub oracle).
+PHONE_CORE = (
     r"(?:"
     r"\+\d{1,3}[-. ]?\d{6,12}"               # +91-9876543210, +1 5551234567
     r"|\(\d{3}\)[-. ]?\d{3}[-. ]?\d{4}"      # (555) 123-4567
     r"|\d{3,5}[-. ]\d{3,8}(?:[-. ]\d{3,6})?"  # 044-2345678, 555-123-4567
     r")"
-    r"(?![\dA-Za-z])"
 )
-IPV4_RE = re.compile(r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])")
+PHONE_RE = re.compile(
+    r"(?<![\dA-Za-z])" + PHONE_CORE + r"(?![\dA-Za-z])", re.ASCII
+)
+IP_CORE = r"(?:\d{1,3}\.){3}\d{1,3}"
+IPV4_RE = re.compile(r"(?<![\d.])" + IP_CORE + r"(?![\d.])", re.ASCII)
 # synthetic placeholder lexicon (FIXTURES.md F1e) — a real deployment drops
 # in a real lexicon via config; word-boundary, case-insensitive.
 # re.ASCII pins case folding to A-Z<->a-z: without it, Unicode variants such

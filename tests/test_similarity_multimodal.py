@@ -192,3 +192,87 @@ def test_ivf_trained_codebook_seam(spark, vectors):
         for qid in range(3)
     )
     assert hits / 15 >= 0.6, f"trained-codebook recall: {hits}/15"
+
+
+# ---------------------------------------------------------------------------
+# real image headers (dependency-free JPEG/PNG/GIF dimension decode)
+# ---------------------------------------------------------------------------
+
+
+def _minimal_png(w, h):
+    """A genuine, viewer-valid PNG built from the spec: signature +
+    IHDR + IDAT (zlib-compressed filter+pixels) + IEND."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(b"\x00" + b"\x80" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _minimal_jpeg(w, h):
+    """SOI + APP0(JFIF) + DQT stub + SOF0 — a real JPEG prefix through
+    the frame header (enough for any header-only dimension reader)."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0
+
+
+def test_png_header_decode():
+    assert mm.png_dimensions(_minimal_png(1, 1)) == (1, 1)
+    assert mm.png_dimensions(_minimal_png(640, 480)) == (640, 480)
+    assert mm.png_dimensions(b"not a png") is None
+    assert mm._decode_image(_minimal_png(33, 7)) == (33, 7)
+
+
+def test_jpeg_header_decode():
+    assert mm.jpeg_dimensions(_minimal_jpeg(1, 1)) == (1, 1)
+    assert mm.jpeg_dimensions(_minimal_jpeg(1920, 1080)) == (1920, 1080)
+    # progressive (SOF2) dimensions read identically
+    prog = _minimal_jpeg(64, 32).replace(b"\xff\xc0", b"\xff\xc2")
+    assert mm.jpeg_dimensions(prog) == (64, 32)
+    # DHT (C4) must NOT be mistaken for a frame header
+    dht_first = _minimal_jpeg(9, 9).replace(b"\xff\xdb", b"\xff\xc4")
+    assert mm.jpeg_dimensions(dht_first) == (9, 9)
+    assert mm.jpeg_dimensions(b"\xff\xd8\x00\x00") is None
+    assert mm._decode_image(_minimal_jpeg(800, 600)) == (800, 600)
+
+
+def test_gif_header_decode():
+    import struct
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert mm.gif_dimensions(gif) == (320, 200)
+    assert mm._decode_image(gif) == (320, 200)
+
+
+def test_image_metadata_real_formats(spark):
+    """The image_metadata operator returns real dimensions for genuine
+    PNG/JPEG blobs next to FAKEIMG rows (mixed-format partitions)."""
+    rows = [
+        (1, "image", mm.encode_fake_image(5, 6), "application/x-fake"),
+        (2, "image", _minimal_png(12, 34), "image/png"),
+        (3, "image", _minimal_jpeg(56, 78), "image/jpeg"),
+        (4, "image", b"corrupt", "image/jpeg"),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in mm.image_metadata(df).collect()}
+    assert (got[1].width, got[1].height, got[1].valid) == (5, 6, True)
+    assert (got[2].width, got[2].height, got[2].valid) == (12, 34, True)
+    assert (got[3].width, got[3].height, got[3].valid) == (56, 78, True)
+    assert got[4].valid is False
