@@ -177,10 +177,14 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
     schema = (
         "url string, warc_ts timestamp, html binary, text string, lang string"
     )
-    # batch 1: events at t=0..30m in window [0,1h), then t=3h (advances
-    # the max event time so the watermark passes the first window)
+    # run 1: events at t=0..30m in window [0,1h), then t=3h advancing
+    # the max event time so the watermark (30 min) passes the window.
+    # coalesce(1) per write keeps one file per ingest step — WHEN append
+    # mode emits a finalized window depends on batch boundaries (and on
+    # a trailing no-data flush batch the engine may or may not run), so
+    # the assertions below only rely on the end state after run 3.
     b1 = [page("h", 0), page("h", 600), page("h", 1800), page("h", 10800)]
-    spark.createDataFrame(b1, schema).write.parquet(inp)
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(inp)
 
     def run():
         s = (
@@ -201,9 +205,15 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
         assert q.awaitTermination(180), "stream did not finish"
 
     run()
-    # batch 2: a LATE row back in the (already closed) first window —
+    # run 2: a LATE row back in the (already closed) first window —
     # max event time is 3h, watermark horizon = 2.5h, so t=20min is late
-    spark.createDataFrame([page("h", 1200)], schema).write.mode(
+    spark.createDataFrame([page("h", 1200)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run()
+    # run 3: one more on-time row forces another micro-batch, so any
+    # window finalized but not yet flushed is emitted by now
+    spark.createDataFrame([page("h", 14400)], schema).coalesce(1).write.mode(
         "append"
     ).parquet(inp)
     run()
@@ -211,7 +221,7 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
     got = spark.read.parquet(out).collect()
     first_window = [r for r in got if r.start == base]
     # first window emitted exactly once with the 3 on-time rows; the
-    # late row neither re-emits the window nor bumps the count
+    # late row neither re-emits the window nor bumps the count to 4
     assert len(first_window) == 1, got
     assert first_window[0].n_pages == 3
 
