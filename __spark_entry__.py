@@ -870,6 +870,84 @@ FROM documents
 """
 
 
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (textstats.normalize_url, pure codegen):
+    messy URL variants are synthesized deterministically from doc
+    fields — case-variant scheme/host, default ports, fragments,
+    tracking params, shuffled query order — and must collapse to the
+    canonical key the DuckDB oracle derives with the same steps."""
+    d = _load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    messy = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTP://WWW."), F.upper("source"),
+            F.lit(":80/A/b?b=2&utm_source=x&a=1#frag"),
+        ))
+        .when(m == 1, F.concat(F.lit("https://"), F.col("source"), F.lit(":443/")))
+        .when(m == 2, F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/p?z="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("&gclid=abc&y=0"),
+        ))
+        .otherwise(F.concat(F.lit("http://"), F.col("source"), F.lit(":8080/Q/")))
+    )
+    return d.select(
+        "doc_id", ts.normalize_url(messy).alias("url_norm")
+    )
+
+
+ORACLE_URL_NORMALIZE = """
+WITH m AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTP://WWW.' || upper(source) || ':80/A/b?b=2&utm_source=x&a=1#frag'
+      WHEN 1 THEN 'https://' || source || ':443/'
+      WHEN 2 THEN 'https://' || source || '/p?z=' || (doc_id % 7)::VARCHAR || '&gclid=abc&y=0'
+      ELSE 'http://' || source || ':8080/Q/'
+    END AS u
+  FROM documents
+),
+s AS (
+  SELECT doc_id, split_part(u, '#', 1) AS d FROM m
+),
+p AS (
+  SELECT doc_id,
+    split_part(d, '?', 1) AS base,
+    CASE WHEN contains(d, '?') THEN split_part(d, '?', 2) ELSE '' END AS q
+  FROM s
+),
+c AS (
+  SELECT doc_id, q,
+    lower(split_part(base, '://', 1)) AS scheme,
+    split_part(base, '://', 2) AS rest
+  FROM p
+),
+h AS (
+  SELECT doc_id, q, scheme, rest,
+    lower(split_part(rest, '/', 1)) AS hostport,
+    substr(rest, length(split_part(rest, '/', 1)) + 1) AS path
+  FROM c
+),
+n AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+           THEN substr(hostport, 1, length(hostport) - 3)
+         WHEN scheme = 'https' AND hostport LIKE '%:443'
+           THEN substr(hostport, 1, length(hostport) - 4)
+         ELSE hostport END AS host,
+    CASE WHEN path = '/' THEN '' ELSE path END AS npath,
+    array_to_string(list_sort(list_filter(string_split(q, '&'),
+      x -> x <> '' AND NOT regexp_matches(x,
+        '^(utm_[^=]*|fbclid|gclid|msclkid|ref_src)='))), '&') AS nq
+  FROM h
+)
+SELECT doc_id,
+  scheme || '://' || host || npath ||
+  CASE WHEN nq <> '' THEN '?' || nq ELSE '' END AS url_norm
+FROM n
+"""
+
+
 def q_pii_email_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return d.select(
@@ -1944,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_completeness": q_doc_completeness,
         "doc_format": q_doc_format,
         "token_count": q_token_count,
+        "url_normalize": q_url_normalize,
         "pii_email_count": q_pii_email_count,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_hd": q_ann_cosine_topk_hd,
@@ -1991,6 +2070,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_completeness": ORACLE_COMPLETENESS,
         "doc_format": ORACLE_FORMAT,
         "token_count": ORACLE_TOKEN_COUNT,
+        "url_normalize": ORACLE_URL_NORMALIZE,
         "pii_email_count": ORACLE_PII_EMAIL,
         "ann_cosine_topk": ORACLE_ANN,
         "ann_cosine_topk_hd": ORACLE_ANN_HD,

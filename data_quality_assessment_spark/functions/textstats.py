@@ -122,3 +122,52 @@ def host_of(url: Column) -> Column:
     """Extract ``host`` from ``scheme://host/path`` (the per-entity key —
     reference analog: trip_id/license_plate, SURVEY.md §1.3)."""
     return F.substring_index(F.substring_index(url, "://", -1), "/", 1)
+
+
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|ref_src)="
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL for url-keyed dedup at crawl scale — pure codegen
+    (no UDF): duplicate pages reached via trivially-different URLs
+    (case-variant scheme/host, fragments, default ports, tracking
+    params, shuffled query order) collapse to one key before the dedup
+    shuffle, which is where exact dedup actually wins on web data.
+
+    Steps (each mirrored exactly by the DuckDB oracle):
+      1. strip the fragment (``#...``);
+      2. lowercase scheme and host (path/query stay case-significant);
+      3. drop default ports (``:80`` for http, ``:443`` for https);
+      4. drop a bare trailing ``/`` path;
+      5. drop tracking params (``TRACKING_PARAM_RE``), sort the rest
+         byte-wise, re-join with ``&`` (empty query -> no ``?``).
+    """
+    defrag = F.substring_index(url, "#", 1)
+    base = F.substring_index(defrag, "?", 1)
+    query = F.when(
+        defrag.contains("?"), F.substring_index(defrag, "?", -1)
+    ).otherwise(F.lit(""))
+    scheme = F.lower(F.substring_index(base, "://", 1))
+    rest = F.substring_index(base, "://", -1)
+    hostport = F.lower(F.substring_index(rest, "/", 1))
+    path = F.substring(
+        rest, F.length(F.substring_index(rest, "/", 1)) + 1,
+        F.length(rest),
+    )
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.substring(hostport, 1, F.length(hostport) - 3),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.substring(hostport, 1, F.length(hostport) - 4),
+    ).otherwise(hostport)
+    npath = F.when(path == "/", F.lit("")).otherwise(path)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    nquery = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, npath,
+        F.when(nquery != "", F.concat(F.lit("?"), nquery)).otherwise(F.lit("")),
+    )

@@ -84,3 +84,37 @@ def test_random_ascii_parity(spark):
         assert r["sym"] == pytest.approx(textcore.symbol_word_ratio(t), abs=0)
         assert r["swf"] == pytest.approx(textcore.stopword_frac(t), abs=0)
         assert r["dlf"] == pytest.approx(textcore.dup_line_frac(t), abs=0)
+
+
+def test_normalize_url(spark):
+    """URL canonicalization: case, default ports, fragments, tracking
+    params, query ordering — and the invariants that must NOT change
+    (non-default ports, path case, meaningful trailing slash)."""
+    from data_quality_assessment_spark.functions.textstats import normalize_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/Path/To?b=2&utm_source=x&a=1#frag",
+         "http://www.example.com/Path/To?a=1&b=2"),
+        ("https://Example.com:443/", "https://example.com"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://a.b/?utm_campaign=z&fbclid=123", "http://a.b"),
+        ("https://x.y/p?z=1", "https://x.y/p?z=1"),
+        ("https://x.y/p/", "https://x.y/p/"),
+        ("http://host", "http://host"),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "url string")
+    got = [
+        r.n for r in df.select(
+            normalize_url(F.col("url")).alias("n")
+        ).collect()
+    ]
+    for (raw, want), g in zip(cases, got):
+        assert g == want, raw
+    # idempotent: normalizing a normalized url is a no-op
+    df2 = spark.createDataFrame([(w,) for _, w in cases], "url string")
+    got2 = [
+        r.n for r in df2.select(
+            normalize_url(F.col("url")).alias("n")
+        ).collect()
+    ]
+    assert got2 == [w for _, w in cases]
