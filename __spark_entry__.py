@@ -948,6 +948,81 @@ FROM n
 """
 
 
+def q_dup_line_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style char-weighted duplicate-line fraction
+    (operators/repetition.py)."""
+    from data_quality_assessment_spark.operators import repetition
+
+    d = _load(spark, sf_dir, "documents")
+    return repetition.dup_line_char_frac(d, "doc_id", "text")
+
+
+ORACLE_DUP_LINE_CHARS = f"""
+WITH lns AS (
+  SELECT doc_id,
+    unnest(list_filter(list_transform(
+      string_split(coalesce(text, ''), chr(10)),
+      l -> regexp_replace(regexp_replace(l, '^{WS}+', ''), '{WS}+$', '')),
+      l -> l <> '')) AS ln
+  FROM documents
+),
+per AS (
+  SELECT doc_id, ln, count(*) AS c, max(length(ln)) AS len
+  FROM lns GROUP BY doc_id, ln
+),
+agg AS (
+  SELECT doc_id,
+    round(sum((c - 1) * len)::DOUBLE / sum(c * len), 6) AS f
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(agg.f, 0.0) AS dup_line_char_frac
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+def q_top_ngram_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style top word-3-gram character coverage."""
+    from data_quality_assessment_spark.operators import repetition
+
+    d = _load(spark, sf_dir, "documents")
+    return repetition.top_ngram_char_frac(d, 3, "doc_id", "text")
+
+
+def _oracle_top_ngram_sql(n: int) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(coalesce(text, ''), '{WS}+'),
+                x -> x <> '') AS w
+  FROM documents
+),
+tot AS (
+  SELECT doc_id, length(array_to_string(w, '')) AS total, w FROM t
+),
+g AS (
+  SELECT doc_id, total,
+    unnest(CASE WHEN len(w) >= {n}
+      THEN list_transform(generate_series(1, len(w) - {n - 1}),
+                          i -> array_to_string(w[i:i+{n - 1}], ' '))
+      ELSE []::VARCHAR[] END) AS gm
+  FROM tot
+),
+c AS (
+  SELECT doc_id, total, gm, count(*) AS c FROM g GROUP BY doc_id, total, gm
+),
+top AS (
+  SELECT doc_id, total, gm, c,
+    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gm ASC) AS rn
+  FROM c
+)
+SELECT d.doc_id, top.gm AS top_ngram,
+  coalesce(round(top.c * (length(top.gm) - {n - 1})::DOUBLE / top.total, 6),
+           0.0) AS top_ngram_char_frac
+FROM documents d
+LEFT JOIN (SELECT * FROM top WHERE rn = 1) top USING (doc_id)
+"""
+
+
 def q_pii_email_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return d.select(
@@ -1598,6 +1673,48 @@ FROM documents
 """
 
 
+def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL minimal MP4 headers (ftyp + moov[mvhd + trak[tkhd]]) built
+    per doc with doc_id-derived timescale/duration/dimensions, pushed
+    through the ISO-BMFF box walk (multimodal.mp4_metadata) via
+    mapInPandas; the oracle re-derives every field declaratively — the
+    binary round-trip check for the video path."""
+    from data_quality_assessment_spark.functions import multimodal as mmod
+
+    d = _load(spark, sf_dir, "documents")
+
+    import pandas as pd
+
+    def make_blobs(batches):
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                blob = mmod.encode_min_mp4(
+                    1000, int(did % 300 + 1) * 40,
+                    int(did % 640 + 16), int(did % 360 + 9),
+                )
+                rows.append((did, "video", blob, "video/mp4"))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "blob", "mime"]
+            )
+
+    media = d.select("doc_id").mapInPandas(
+        make_blobs, mmod.MEDIA_SCHEMA
+    ).withColumn("media_id", F.col("media_id").cast("long"))
+    return mmod.video_metadata(media)
+
+
+ORACLE_VIDEO_META = """
+SELECT doc_id AS media_id,
+  ((doc_id % 300 + 1) * 40)::DOUBLE / 1000.0 AS duration_sec,
+  1::INT AS n_tracks,
+  (doc_id % 640 + 16)::INT AS width,
+  (doc_id % 360 + 9)::INT AS height,
+  true AS valid
+FROM documents
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (every 30th frame index per media row,
     from metadata only — no decode; functions/multimodal.py)."""
@@ -2023,6 +2140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_format": q_doc_format,
         "token_count": q_token_count,
         "url_normalize": q_url_normalize,
+        "dup_line_chars": q_dup_line_chars,
+        "top_ngram_3": q_top_ngram_3,
         "pii_email_count": q_pii_email_count,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_hd": q_ann_cosine_topk_hd,
@@ -2032,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata": q_image_metadata,
         "audio_metadata": q_audio_metadata,
         "frame_sample": q_frame_sample,
+        "video_metadata": q_video_metadata,
         "pipeline_verdict": q_pipeline_verdict,
         "pipeline_scrub": q_pipeline_scrub,
         "doc_ppl": q_doc_ppl,
@@ -2071,6 +2191,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_format": ORACLE_FORMAT,
         "token_count": ORACLE_TOKEN_COUNT,
         "url_normalize": ORACLE_URL_NORMALIZE,
+        "dup_line_chars": ORACLE_DUP_LINE_CHARS,
+        "top_ngram_3": _oracle_top_ngram_sql(3),
         "pii_email_count": ORACLE_PII_EMAIL,
         "ann_cosine_topk": ORACLE_ANN,
         "ann_cosine_topk_hd": ORACLE_ANN_HD,
@@ -2080,6 +2202,7 @@ def oracle_sql() -> dict[str, str]:
         "image_metadata": ORACLE_IMAGE_META,
         "audio_metadata": ORACLE_AUDIO_META,
         "frame_sample": ORACLE_FRAME_SAMPLE,
+        "video_metadata": ORACLE_VIDEO_META,
         "doc_ppl": _oracle_doc_ppl_sql(),
         "pipeline_verdict": _oracle_pipeline_verdict_sql(),
         # scrub oracle: the lookbehind/lookahead assertions are rewritten

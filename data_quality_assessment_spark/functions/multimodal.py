@@ -2,10 +2,13 @@
 
 Training-data-pipeline extension (no reference analog). The Spark-side
 plumbing — schemas, Arrow batch shapes, ``mapInPandas`` signatures,
-partition behavior — is real and tested; the actual codec step is
-STUBBED (image/audio libraries are not in this container): real formats
-raise ``NotImplementedError`` behind the ``_decode_*`` seam, while the
-deterministic FAKE format below exercises the full path end-to-end.
+partition behavior — is real and tested. HEADER metadata decode is real
+and dependency-free for the formats a web crawl actually carries:
+JPEG/PNG/GIF dimensions and MP4 (ISO BMFF) duration/tracks/dimensions.
+Full PIXEL/SAMPLE decode is the remaining seam (PIL optional for
+images; audio codecs absent in this container raise
+``NotImplementedError``); the deterministic FAKE containers below
+exercise the full path end-to-end where no real format applies.
 
 FAKE container format (deterministic, self-describing):
   b"FAKEIMG1" + width:uint16be + height:uint16be + payload bytes
@@ -242,3 +245,133 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
         )
         .select("media_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# real video headers: ISO BMFF / MP4 box walk (dependency-free)
+# ---------------------------------------------------------------------------
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the boxes in
+    buf[start:end] (ISO/IEC 14496-12: u32be size incl. 8-byte header;
+    size==1 -> u64 largesize follows; size==0 -> box runs to end)."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", buf[i:i + 4])[0]
+        typ = buf[i + 4:i + 8]
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = struct.unpack(">Q", buf[i + 8:i + 16])[0]
+            payload = i + 16
+        elif size == 0:
+            size = end - i
+            payload = i + 8
+        else:
+            payload = i + 8
+        if size < 8 or i + size > end:
+            return
+        yield typ, payload, i + size
+        i += size
+
+
+def mp4_metadata(blob: bytes) -> tuple[float, int, int | None, int | None] | None:
+    """(duration_sec, n_tracks, width, height) from the moov box —
+    mvhd gives timescale+duration (v0: u32s, v1: u64s), each trak's
+    tkhd carries 16.16-fixed width/height (first nonzero wins). None if
+    the blob is not ISO BMFF (no ftyp/moov at the top level)."""
+    if len(blob) < 12:
+        return None
+    top = list(_mp4_boxes(blob, 0, len(blob)))
+    if not top or top[0][0] != b"ftyp":
+        return None
+    duration_sec = 0.0
+    n_tracks = 0
+    width = height = None
+    saw_moov = False
+    for typ, p, q in top:
+        if typ != b"moov":
+            continue
+        saw_moov = True
+        for t2, p2, q2 in _mp4_boxes(blob, p, q):
+            if t2 == b"mvhd" and q2 - p2 >= 20:
+                ver = blob[p2]
+                if ver == 1 and q2 - p2 >= 28:
+                    ts = struct.unpack(">I", blob[p2 + 20:p2 + 24])[0]
+                    dur = struct.unpack(">Q", blob[p2 + 24:p2 + 32])[0]
+                else:
+                    ts, dur = struct.unpack(">II", blob[p2 + 12:p2 + 20])
+                duration_sec = dur / ts if ts else 0.0
+            elif t2 == b"trak":
+                n_tracks += 1
+                for t3, p3, q3 in _mp4_boxes(blob, p2, q2):
+                    if t3 != b"tkhd":
+                        continue
+                    ver = blob[p3]
+                    off = p3 + (88 if ver == 1 else 76)
+                    if q3 >= off + 8:
+                        w = struct.unpack(">I", blob[off:off + 4])[0] >> 16
+                        h = struct.unpack(">I", blob[off + 4:off + 8])[0] >> 16
+                        if width is None and w:
+                            width, height = w, h
+    return (duration_sec, n_tracks, width, height) if saw_moov else None
+
+
+def encode_min_mp4(
+    timescale: int, duration: int, width: int, height: int
+) -> bytes:
+    """A minimal, spec-layout MP4 header (ftyp + moov[mvhd + trak[tkhd]])
+    for fixtures — real offsets, real fixed-point fields."""
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mvhd = box(b"mvhd", bytes(4)                      # ver+flags
+               + struct.pack(">II", 0, 0)             # creation, mod
+               + struct.pack(">II", timescale, duration)
+               + struct.pack(">I", 0x00010000)        # rate 1.0
+               + struct.pack(">H", 0x0100) + bytes(2)  # volume + reserved
+               + bytes(8) + bytes(36) + bytes(24)     # reserved/matrix/predef
+               + struct.pack(">I", 2))                # next track id
+    tkhd = box(b"tkhd", bytes(4)
+               + struct.pack(">III", 0, 0, 1)         # creation, mod, id
+               + bytes(4) + struct.pack(">I", duration)
+               + bytes(8) + bytes(2) * 4 + bytes(36)  # layer/alt/vol/matrix
+               + struct.pack(">II", width << 16, height << 16))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
+
+
+VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("duration_sec", T.DoubleType()),
+    T.StructField("n_tracks", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("valid", T.BooleanType()),
+])
+
+
+def video_metadata(df: DataFrame) -> DataFrame:
+    """media table -> per-video header metadata via the real MP4 box
+    walk; non-BMFF/corrupt blobs yield valid=false rows (same partition
+    streaming shape as image_metadata)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, blob in zip(b["media_id"], b["blob"]):
+                meta = mp4_metadata(bytes(blob)) if blob is not None else None
+                if meta is None:
+                    rows.append((mid, None, None, None, None, False))
+                else:
+                    d, n, w, h = meta
+                    rows.append((mid, d, n, w, h, True))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "duration_sec", "n_tracks", "width",
+                         "height", "valid"],
+            )
+
+    return df.select("media_id", "blob").mapInPandas(fn, VIDEO_META_SCHEMA)

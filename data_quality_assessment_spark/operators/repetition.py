@@ -1,0 +1,119 @@
+"""Repetition quality signals (Gopher-style, Rae et al. 2021 §A1.1 —
+public paper; no reference-repo analog).
+
+The flagship kernel already carries two cheap per-row repetition
+signals (``dup_line_frac``, ``top_bigram_share``). These operators are
+their CHAR-WEIGHTED, distribution-grade cousins — the rules web-scale
+quality filters actually threshold on:
+
+  * ``dup_line_char_frac`` — fraction of line characters sitting in
+    repeat OCCURRENCES of a line (occurrences beyond the first), per
+    document. A page whose one repeated line is 400 chars of boilerplate
+    scores high even when the count-based fraction looks small.
+  * ``top_ngram_char_frac`` — fraction of word characters covered by
+    the most frequent word n-gram (count * token-chars of the n-gram /
+    total token chars). Ties break to the lexicographically-smallest
+    n-gram so the result is deterministic cross-engine.
+
+Scale shape: both are explode -> groupBy aggregations — partial
+(map-side) aggregation applies, no window over the whole corpus, no
+driver state; the widest shuffle row is (doc_id, line-or-ngram, count).
+At 10^12 docs the explode fan-out is bounded by document size, and AQE
+handles doc-length skew like any other key skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import textstats as ts
+
+
+def dup_line_char_frac(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, dup_line_char_frac) per document.
+
+    Lines are the same stripped non-empty lines as
+    ``textstats.lines``; frac = sum over distinct lines of
+    (occurrences - 1) * chars / sum of occurrences * chars. Documents
+    with no lines score 0.0.
+    """
+    d = df.select(
+        F.col(id_col), F.explode(ts.lines(F.col(text_col))).alias("_ln")
+    )
+    per_line = d.groupBy(id_col, "_ln").agg(
+        F.count(F.lit(1)).alias("_c"), F.length("_ln").alias("_len")
+    )
+    agg = per_line.groupBy(id_col).agg(
+        F.round(
+            F.sum((F.col("_c") - 1) * F.col("_len"))
+            / F.sum(F.col("_c") * F.col("_len")),
+            6,
+        ).alias("dup_line_char_frac")
+    )
+    ids = df.select(id_col).distinct()
+    return ids.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("dup_line_char_frac", F.lit(0.0)).alias(
+            "dup_line_char_frac"
+        ),
+    )
+
+
+def _ngrams(words_col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams from a MATERIALIZED words
+    array column (HOFs re-evaluate their argument subtree — callers
+    materialize the words array first, the dedup.py lesson)."""
+    return F.when(
+        F.size(words_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words_col) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words_col, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_char_frac(
+    df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, top_ngram, top_ngram_char_frac) per document.
+
+    frac = count(top n-gram) * token-chars(top n-gram) / total token
+    chars, where token-chars of a space-joined n-gram is its length
+    minus the (n-1) separator spaces. Top pick: highest count, ties ->
+    smallest n-gram string (byte order — cross-engine stable).
+    Documents with fewer than n words score 0.0 with a NULL n-gram.
+    """
+    w = df.select(
+        F.col(id_col), ts.words(F.col(text_col)).alias("_ws")
+    ).withColumn("_total", F.length(F.concat_ws("", F.col("_ws"))))
+    grams = w.select(
+        id_col, "_total", F.explode(_ngrams(F.col("_ws"), n)).alias("_g")
+    )
+    counts = grams.groupBy(id_col, "_total", "_g").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    # smallest-tie argmax via min(struct(-count, gram)) — the
+    # mode_smallest pattern (cadence.py), one partial-agg shuffle
+    top = counts.groupBy(id_col, "_total").agg(
+        F.min(F.struct((-F.col("_c")).alias("nc"), F.col("_g").alias("g")))
+        .alias("_m")
+    ).select(
+        id_col,
+        F.col("_m.g").alias("top_ngram"),
+        F.round(
+            (-F.col("_m.nc")) * (F.length("_m.g") - (n - 1))
+            / F.col("_total"),
+            6,
+        ).alias("top_ngram_char_frac"),
+    )
+    ids = df.select(id_col).distinct()
+    return ids.join(top, id_col, "left").select(
+        id_col,
+        "top_ngram",
+        F.coalesce("top_ngram_char_frac", F.lit(0.0)).alias(
+            "top_ngram_char_frac"
+        ),
+    )

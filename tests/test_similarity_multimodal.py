@@ -276,3 +276,39 @@ def test_image_metadata_real_formats(spark):
     assert (got[2].width, got[2].height, got[2].valid) == (12, 34, True)
     assert (got[3].width, got[3].height, got[3].valid) == (56, 78, True)
     assert got[4].valid is False
+
+
+# ---------------------------------------------------------------------------
+# real MP4 (ISO BMFF) headers
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_box_parse_roundtrip():
+    b = mm.encode_min_mp4(timescale=1000, duration=4000, width=640, height=360)
+    assert mm.mp4_metadata(b) == (4.0, 1, 640, 360)
+    # fractional duration; odd dimensions
+    b2 = mm.encode_min_mp4(90000, 123456, 1921, 1081)
+    d, n, w, h = mm.mp4_metadata(b2)
+    assert d == 123456 / 90000 and (n, w, h) == (1, 1921, 1081)
+    # non-BMFF / corrupt inputs -> None, never an exception
+    assert mm.mp4_metadata(b"") is None
+    assert mm.mp4_metadata(b"RIFFxxxxWAVE") is None
+    assert mm.mp4_metadata(b[:20]) is None  # truncated after ftyp
+    # box with a size field pointing past the buffer -> clean None
+    bad = bytearray(b)
+    bad[0:4] = (2 ** 31).to_bytes(4, "big")
+    assert mm.mp4_metadata(bytes(bad)) is None
+
+
+def test_video_metadata_operator(spark):
+    rows = [
+        (1, "video", mm.encode_min_mp4(1000, 2500, 320, 240), "video/mp4"),
+        (2, "video", b"not a video", "video/mp4"),
+        (3, "video", None, "video/mp4"),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in mm.video_metadata(df).collect()}
+    assert (got[1].duration_sec, got[1].n_tracks, got[1].width,
+            got[1].height, got[1].valid) == (2.5, 1, 320, 240, True)
+    assert got[2].valid is False and got[2].duration_sec is None
+    assert got[3].valid is False
