@@ -398,6 +398,61 @@ WHERE a.doc_id < c.doc_id
     )
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-dup pipeline with transitive clustering:
+    band candidates -> exact Jaccard >= 0.6 -> connected components
+    (min-label + pointer jumping, operators/dedup.py) -> deterministic
+    winner. The oracle re-derives the clusters with a recursive
+    transitive-closure CTE over the same verified edges — an
+    ITERATIVE-algorithm oracle, not just an aggregation."""
+    d = _load(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(
+        d, "doc_id", "text", min_jaccard=0.6, fast=False
+    )
+
+
+def _oracle_near_dup_clusters() -> str:
+    return (
+        "WITH RECURSIVE bands AS ("
+        + _oracle_minhash_bands()
+        + f"""),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands a JOIN bands c
+    ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+  WHERE a.doc_id < c.doc_id
+),
+t AS (SELECT doc_id, {{words}} AS w FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct({{shingles}}) AS sh FROM t
+),
+ver AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.id_a
+  JOIN sh b ON b.doc_id = cand.id_b
+  WHERE round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+    THEN len(list_intersect(a.sh, b.sh))::DOUBLE
+         / len(list_distinct(list_concat(a.sh, b.sh)))
+    ELSE 0.0 END, 6) >= 0.6
+),
+edges AS (
+  SELECT id_a AS v, id_b AS u FROM ver
+  UNION SELECT id_b, id_a FROM ver
+),
+reach AS (
+  SELECT v, v AS u FROM (SELECT DISTINCT v FROM edges)
+  UNION
+  SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v
+)
+SELECT v AS doc_id, min(u) AS component,
+  v = min(u) AS keep
+FROM reach GROUP BY v
+""").format(
+        words=_SQL_WORDS, shingles=_sql_shingles(dedup.SHINGLE_K)
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return dedup.with_simhash(d, "doc_id", "text", fast=False)
@@ -2117,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_dup_counts": q_entity_dup_counts,
         "minhash_bands": q_minhash_bands,
         "minhash_candidates": q_minhash_candidates,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2168,6 +2224,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_dup_counts": ORACLE_ENTITY_DUP,
         "minhash_bands": _oracle_minhash_bands(),
         "minhash_candidates": _oracle_minhash_candidates(),
+        "near_dup_clusters": _oracle_near_dup_clusters(),
         "simhash": _oracle_simhash(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "doc_fingerprint": _oracle_fingerprint(),

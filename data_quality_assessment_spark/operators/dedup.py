@@ -364,3 +364,118 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup CLUSTERS: candidates -> verify -> connected components -> winner
+# (the step candidate-pair operators feed at corpus scale: transitive
+# near-duplicates must collapse to ONE kept document per cluster)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_for_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Exact shingle-Jaccard for GIVEN candidate pairs (id_a, id_b):
+    two hash-joins against the per-doc distinct-shingle arrays — work is
+    O(|pairs|), never all-pairs (the LSH/banding stage bounds |pairs|)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(_shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("_id", "id_a")
+                     .withColumnRenamed("_sh", "_sha"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b")
+                .withColumnRenamed("_sh", "_shb"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.size(F.array_union(F.col("_sha"), F.col("_shb")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(vertex, component) for the undirected graph of ``edges``, where
+    component = the smallest vertex id reachable (deterministic labels).
+
+    Min-label propagation with POINTER JUMPING: each round takes the
+    min over direct neighbors' labels AND re-resolves each label to its
+    own current label (label[label[v]]), so label distances halve —
+    convergence in O(log diameter) rounds, not O(diameter). Every round
+    is hash-join + partial-agg (no windows, no driver-side graph);
+    lineage is cut per round with localCheckpoint (swap for
+    ``checkpoint()`` against a reliable store on a real cluster — noted
+    rather than defaulted because it needs a configured checkpoint
+    dir). Near-dup clusters are overwhelmingly tiny (pairs/triples), so
+    real corpora converge in 2-3 rounds; ``max_iter`` is a backstop,
+    with a loud error rather than silently-wrong labels."""
+    e = edges.select(
+        F.col(src).alias("v"), F.col(dst).alias("u")
+    ).union(edges.select(F.col(dst).alias("v"), F.col(src).alias("u")))
+    labels = e.select("v").distinct().withColumn("l", F.col("v"))
+    for _ in range(max_iter):
+        nbr = (
+            e.join(labels.withColumnRenamed("v", "u"), "u")
+            .groupBy("v").agg(F.min("l").alias("_nl"))
+        )
+        stepped = labels.join(nbr, "v", "left").select(
+            "v",
+            F.least(F.col("l"), F.coalesce("_nl", F.col("l"))).alias("l"),
+        )
+        # pointer jump: l <- label(l)
+        jumped = (
+            stepped.join(
+                stepped.select(F.col("v").alias("l"),
+                               F.col("l").alias("_ll")),
+                "l", "left",
+            )
+            .select("v", F.coalesce("_ll", F.col("l")).alias("l"))
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.l") != F.col("o.l"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("v").alias("vertex"),
+                                 F.col("l").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def near_dup_clusters(
+    df: DataFrame, id_col: str, text_col: str,
+    min_jaccard: float = 0.6, fast: bool = True,
+) -> DataFrame:
+    """The full near-dup pipeline: MinHash-band candidates -> exact
+    Jaccard verification (>= min_jaccard) -> connected components ->
+    (id, component, keep) where keep marks the cluster winner (smallest
+    id — deterministic). Documents in no cluster keep=true trivially
+    and are not returned (callers left-anti join to filter drops).
+
+    Every stage is bounded: banding bounds the candidate count,
+    verification is per-candidate work, components converge in
+    O(log diameter) join rounds. No stage ever materializes all-pairs.
+    """
+    cand = minhash_candidates(df, id_col, text_col, fast=fast)
+    verified = jaccard_for_pairs(df, cand, id_col, text_col).filter(
+        F.col("jaccard") >= min_jaccard
+    )
+    cc = connected_components(verified)
+    # the component label IS the smallest reachable id, so the winner
+    # test needs no window at all
+    return cc.select(
+        F.col("vertex").alias(id_col),
+        "component",
+        (F.col("vertex") == F.col("component")).alias("keep"),
+    )

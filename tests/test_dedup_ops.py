@@ -106,3 +106,61 @@ def test_dup_count_metric_values(spark):
     row = dedup.dup_count_metric(df, ["k", "t"]).collect()[0]
     assert (row.n_total, row.n_dupes) == (6, 3)
     assert row.dupe_score == 0.5
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components + winner)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_basic(spark):
+    """Two components + an isolated edge; labels = min reachable id."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.vertex: r.component
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_long_path(spark):
+    """A 40-vertex path: plain one-hop min propagation needs ~40
+    rounds; pointer jumping must converge well inside max_iter=25."""
+    n = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {
+        r.vertex: r.component
+        for r in dedup.connected_components(edges, max_iter=25).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_near_dup_clusters_end_to_end(spark):
+    """Planted transitive near-dup chain A~B~C (A and C need NOT be
+    band-mates — transitivity comes from components), plus unrelated
+    docs; exactly one winner per cluster."""
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base + "tail one"),
+        (2, base + "tail two"),
+        (3, base + "tail two variant"),
+        (50, "completely different content about spark plans " * 10),
+        (60, "another unrelated document body entirely " * 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dedup.near_dup_clusters(df, "doc_id", "text",
+                                   min_jaccard=0.5).collect()}
+    # the three variants cluster together under winner 1
+    assert got[1].component == 1 and got[1].keep
+    assert got[2].component == 1 and not got[2].keep
+    assert got[3].component == 1 and not got[3].keep
+    # unrelated docs are not in any cluster (not returned)
+    assert 50 not in got and 60 not in got
