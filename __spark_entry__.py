@@ -1770,6 +1770,60 @@ FROM documents
 """
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WARC bytes (spec layout, CC-style per-record gzip members
+    for every other doc) built per document, parsed back through the
+    streaming record parser (sources/warc.py) — the oracle re-derives
+    url/ts/status/body-length declaratively. Binary round-trip check
+    for the raw-crawl ingest path."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from data_quality_assessment_spark.sources import warc as warcmod
+
+    d = _load(spark, sf_dir, "documents")
+    base = _dt.datetime(2023, 5, 1)
+
+    def roundtrip(batches):
+        for b in batches:
+            rows = []
+            for did, text in zip(b["doc_id"], b["text"]):
+                body = ("<html><body>" + (text or "") + "</body></html>").encode()
+                url = f"https://warc.test/{did}"
+                ts = base + _dt.timedelta(seconds=int(did) % 86400)
+                blob = warcmod.write_warc(
+                    [(url, ts, body)], compress=bool(did % 2)
+                )
+                (u, t, wtype, ctype, status, html), = (
+                    warcmod.records_from_file_bytes(blob)
+                )
+                rows.append((did, u, t, wtype, ctype, status, len(html)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "url", "warc_ts", "warc_type",
+                               "content_type", "http_status", "n_bytes"],
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        roundtrip,
+        "doc_id long, url string, warc_ts timestamp, warc_type string, "
+        "content_type string, http_status int, n_bytes long",
+    )
+
+
+ORACLE_WARC_ROUNDTRIP = """
+SELECT doc_id,
+  'https://warc.test/' || doc_id::VARCHAR AS url,
+  TIMESTAMP '2023-05-01 00:00:00' + to_seconds(doc_id % 86400) AS warc_ts,
+  'response' AS warc_type,
+  'text/html' AS content_type,
+  200::INT AS http_status,
+  (strlen('<html><body>' || coalesce(text, '') || '</body></html>'))::BIGINT
+    AS n_bytes
+FROM documents
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (every 30th frame index per media row,
     from metadata only — no decode; functions/multimodal.py)."""
@@ -2208,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_metadata": q_audio_metadata,
         "frame_sample": q_frame_sample,
         "video_metadata": q_video_metadata,
+        "warc_roundtrip": q_warc_roundtrip,
         "pipeline_verdict": q_pipeline_verdict,
         "pipeline_scrub": q_pipeline_scrub,
         "doc_ppl": q_doc_ppl,
@@ -2260,6 +2315,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_metadata": ORACLE_AUDIO_META,
         "frame_sample": ORACLE_FRAME_SAMPLE,
         "video_metadata": ORACLE_VIDEO_META,
+        "warc_roundtrip": ORACLE_WARC_ROUNDTRIP,
         "doc_ppl": _oracle_doc_ppl_sql(),
         "pipeline_verdict": _oracle_pipeline_verdict_sql(),
         # scrub oracle: the lookbehind/lookahead assertions are rewritten
