@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--config", default=None)
     p.add_argument("--no-dedup", action="store_true")
+    p.add_argument(
+        "--materialize-scrub", action="store_true",
+        help="write full scrubbed_text bytes; default keeps the engine's "
+        "NULL-means-unchanged convention (near-zero column on clean "
+        "text — consumers coalesce via plans.pipeline.materialize_scrubbed)",
+    )
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
@@ -66,7 +72,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.limit:
         df = df.limit(args.limit)
 
-    out = pages_out(run_pipeline(df, cfg, dedup=not args.no_dedup))
+    res_df = run_pipeline(df, cfg, dedup=not args.no_dedup)
+    if args.materialize_scrub:
+        from data_quality_assessment_spark.plans.pipeline import (
+            materialize_scrubbed,
+        )
+
+        res_df = materialize_scrubbed(res_df)
+    out = pages_out(res_df)
     out.write.mode("overwrite").parquet(args.output + "/pages_out")
 
     res = spark.read.parquet(args.output + "/pages_out")
