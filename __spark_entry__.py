@@ -925,6 +925,66 @@ FROM documents
 """
 
 
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality scorer (functions/quality_model.py) — compared
+    on the LOGIT (pure left-to-right arithmetic, bit-reproducible in
+    SQL); the sigmoid probability is deliberately excluded from the
+    oracle columns (libm exp() can differ in the last ulp across
+    engines) and is pinned by pytest instead."""
+    from data_quality_assessment_spark.functions import quality_model as qm
+
+    d = _load(spark, sf_dir, "documents")
+    return qm.quality_model_score(d).select("doc_id", "qm_logit", "keep")
+
+
+def _oracle_quality_model_sql() -> str:
+    from data_quality_assessment_spark.functions.quality_model import (
+        DEFAULT_BIAS, DEFAULT_WEIGHTS,
+    )
+
+    w = DEFAULT_WEIGHTS
+    dlf = (
+        "list_filter(list_transform(string_split(txt, chr(10)), "
+        f"l -> regexp_replace(regexp_replace(l, '^{WS}+', ''), '{WS}+$', '')), "
+        "l -> l <> '')"
+    )
+    # the logit chain mirrors quality_model.logit_col term-for-term,
+    # left-to-right: ((((b + nw_sat*w1) + mwl*w2) + sym*w3) + swf*w4) + dlf*w5
+    logit = (
+        f"(((({DEFAULT_BIAS!r} + (nw / (nw + 100.0)) * {w['nw_sat']!r})"
+        f" + mwl * {w['mean_wl']!r})"
+        f" + sym * {w['symbol_ratio']!r})"
+        f" + swf * {w['stopword_frac']!r})"
+        f" + dlfv * {w['dup_line_frac']!r}"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS txt, {_SQL_WORDS} AS w FROM documents
+),
+f AS (
+  SELECT doc_id,
+    len(w)::DOUBLE AS nw,
+    CASE WHEN len(w) > 0
+      THEN list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)
+      ELSE 0.0 END AS mwl,
+    CASE WHEN len(w) > 0
+      THEN len(regexp_extract_all(txt, '{SYMBOL_CLASS}'))::DOUBLE / len(w)
+      ELSE 0.0 END AS sym,
+    CASE WHEN len(w) > 0
+      THEN len(list_filter(w, x -> list_contains({_SQL_STOPS}, lower(x))))::DOUBLE / len(w)
+      ELSE 0.0 END AS swf,
+    CASE WHEN len({dlf}) > 0
+      THEN 1.0 - len(list_distinct({dlf}))::DOUBLE / len({dlf})
+      ELSE 0.0 END AS dlfv
+  FROM t
+)
+SELECT doc_id,
+  round({logit}, 6) AS qm_logit,
+  ({logit}) > 0.0 AS keep
+FROM f
+"""
+
+
 def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (textstats.normalize_url, pure codegen):
     messy URL variants are synthesized deterministically from doc
@@ -2249,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_completeness": q_doc_completeness,
         "doc_format": q_doc_format,
         "token_count": q_token_count,
+        "quality_model": q_quality_model,
         "url_normalize": q_url_normalize,
         "dup_line_chars": q_dup_line_chars,
         "top_ngram_3": q_top_ngram_3,
@@ -2302,6 +2363,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_completeness": ORACLE_COMPLETENESS,
         "doc_format": ORACLE_FORMAT,
         "token_count": ORACLE_TOKEN_COUNT,
+        "quality_model": _oracle_quality_model_sql(),
         "url_normalize": ORACLE_URL_NORMALIZE,
         "dup_line_chars": ORACLE_DUP_LINE_CHARS,
         "top_ngram_3": _oracle_top_ngram_sql(3),

@@ -188,13 +188,19 @@ def cosine_near_dup_pairs(
         _to_double(F.col(vec_col)).alias("_v"),
     ).withColumn("_n", _norm(F.col("_v")))
     a, b = side.alias("a"), side.alias("b")
-    if dim is not None:  # flat codegen pair-dot for the hot loop
-        dot = _sum_chain([
-            F.col("a._v")[i] * F.col("b._v")[i] for i in range(dim)
-        ])
+    if _use_vectorized(dim, None):
+        # high dim: one Arrow kernel per pair row (recomputes the norms
+        # inside — same fold order; the literal pair-dot would be O(dim)
+        # plan nodes)
+        cos = _cosine_vec_udf()(F.col("a._v"), F.col("b._v"))
     else:
-        dot = _dot(F.col("a._v"), F.col("b._v"))
-    cos = dot / (F.col("a._n") * F.col("b._n"))
+        if dim is not None:  # flat codegen pair-dot for the hot loop
+            dot = _sum_chain([
+                F.col("a._v")[i] * F.col("b._v")[i] for i in range(dim)
+            ])
+        else:
+            dot = _dot(F.col("a._v"), F.col("b._v"))
+        cos = dot / (F.col("a._n") * F.col("b._n"))
     return (
         a.join(b, F.col("a._blk") == F.col("b._blk"))
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -124,3 +124,20 @@ def test_lsh_topk_highdim_end_to_end(spark, vecs):
     for r in out:
         assert 1 <= r.rank <= 5
         assert -1.0001 <= r.cos <= 1.0001
+
+
+def test_cosine_near_dup_pairs_highdim_bit_identical(spark, vecs):
+    blocked = vecs.withColumn("blk", F.col("vec_id") % 4)
+    lit = {
+        (r.id_a, r.id_b): r.cos
+        for r in sim.cosine_near_dup_pairs(
+            blocked, "vec_id", "embedding", "blk", threshold=-1.0
+        ).collect()  # dim=None -> HOF fallback path
+    }
+    vec = {
+        (r.id_a, r.id_b): r.cos
+        for r in sim.cosine_near_dup_pairs(
+            blocked, "vec_id", "embedding", "blk", threshold=-1.0, dim=DIM
+        ).collect()  # dim=256 -> vectorized kernel
+    }
+    assert lit == vec and len(lit) > 0
