@@ -157,11 +157,18 @@ def _decode_image(blob: bytes) -> tuple[int, int]:
 
 
 def _decode_audio(blob: bytes) -> tuple[int, int]:
+    """(sample_rate, n_samples). FAKEAUD and real RIFF/WAV decode
+    dependency-free (``wav_metadata`` below); MP3 exposes rate/bitrate
+    via ``mp3_frame_header`` but not an exact sample count without a
+    full frame walk, so compressed formats still raise here."""
     if blob[:8] == AUD_MAGIC:
         return struct.unpack(">II", blob[8:16])
+    wav = wav_metadata(blob)
+    if wav is not None:
+        return wav
     raise NotImplementedError(
-        "real audio codecs unavailable in this container (soundfile); "
-        "only the FAKEAUD1 container decodes here"
+        "compressed audio decode unavailable in this container "
+        "(soundfile); FAKEAUD1 and WAV headers decode natively"
     )
 
 
@@ -375,3 +382,66 @@ def video_metadata(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "blob").mapInPandas(fn, VIDEO_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real audio headers: WAV (RIFF) and MP3 (MPEG frame) — dependency-free
+# ---------------------------------------------------------------------------
+
+
+def wav_metadata(blob: bytes) -> tuple[int, int] | None:
+    """(sample_rate, n_samples) from a RIFF/WAVE header: walk the
+    chunks (4cc + u32le size), read fmt's sample-rate/block-align and
+    size the data chunk in frames. None if not RIFF/WAVE."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    i = 12
+    n = len(blob)
+    rate = block_align = None
+    data_bytes = None
+    while i + 8 <= n:
+        cid = blob[i:i + 4]
+        size = struct.unpack("<I", blob[i + 4:i + 8])[0]
+        body = i + 8
+        if cid == b"fmt " and size >= 16 and body + 16 <= n:
+            _fmt, _ch, rate, _bps, block_align, _bits = struct.unpack(
+                "<HHIIHH", blob[body:body + 16]
+            )
+        elif cid == b"data":
+            # size may exceed the blob for a truncated capture — count
+            # only the frames actually present
+            data_bytes = min(size, n - body)
+        i = body + size + (size & 1)  # chunks are word-aligned
+    if rate and block_align and data_bytes is not None:
+        return (rate, data_bytes // block_align)
+    return None
+
+
+_MP3_BITRATES = (  # kbps, MPEG-1 Layer III
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0
+)
+_MP3_RATES = (44100, 48000, 32000, 0)  # MPEG-1
+
+
+def mp3_frame_header(blob: bytes) -> tuple[int, int] | None:
+    """(sample_rate, bitrate_kbps) from the first MPEG-1 Layer III
+    frame sync (11 set bits; version/layer/bitrate/rate fields per the
+    MPEG audio frame header layout). ID3v2 tags are skipped via their
+    syncsafe length. None when no valid frame is found."""
+    i = 0
+    if blob[:3] == b"ID3" and len(blob) >= 10:
+        ss = blob[6:10]
+        i = 10 + ((ss[0] & 0x7F) << 21 | (ss[1] & 0x7F) << 14
+                  | (ss[2] & 0x7F) << 7 | (ss[3] & 0x7F))
+    n = len(blob)
+    while i + 4 <= n:
+        if blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0:
+            version = (blob[i + 1] >> 3) & 0x3
+            layer = (blob[i + 1] >> 1) & 0x3
+            if version == 3 and layer == 1:  # MPEG-1 Layer III
+                br = _MP3_BITRATES[(blob[i + 2] >> 4) & 0xF]
+                sr = _MP3_RATES[(blob[i + 2] >> 2) & 0x3]
+                if br and sr:
+                    return (sr, br)
+        i += 1
+    return None

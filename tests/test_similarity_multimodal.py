@@ -312,3 +312,55 @@ def test_video_metadata_operator(spark):
             got[1].height, got[1].valid) == (2.5, 1, 320, 240, True)
     assert got[2].valid is False and got[2].duration_sec is None
     assert got[3].valid is False
+
+
+# ---------------------------------------------------------------------------
+# real audio headers (WAV RIFF + MP3 frame)
+# ---------------------------------------------------------------------------
+
+
+def _minimal_wav(rate, n_samples, channels=1, bits=16):
+    import struct
+
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    data = b"\x00" * (n_samples * block)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_wav_header_decode():
+    assert mm.wav_metadata(_minimal_wav(8000, 4)) == (8000, 4)
+    assert mm.wav_metadata(_minimal_wav(44100, 441, channels=2)) == (44100, 441)
+    assert mm.wav_metadata(b"RIFFxxxxAVI ") is None
+    assert mm.wav_metadata(b"junk") is None
+    # truncated data chunk: frames actually present, not the declared size
+    w = _minimal_wav(8000, 100)
+    assert mm.wav_metadata(w[:len(w) - 100])[1] == 50
+
+
+def test_mp3_frame_header():
+    frame = b"\xff\xfb\x90\x00" + b"\x00" * 16  # MPEG1 L3, 128k, 44100
+    assert mm.mp3_frame_header(frame) == (44100, 128)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + frame
+    assert mm.mp3_frame_header(id3) == (44100, 128)
+    assert mm.mp3_frame_header(b"\x00" * 64) is None
+
+
+def test_audio_metadata_wav(spark):
+    rows = [
+        (1, "audio", mm.encode_fake_audio(16000, 32000), "application/x-fake"),
+        (2, "audio", _minimal_wav(8000, 12000), "audio/wav"),
+        (3, "audio", b"\xff\xfb\x90\x00" + b"\x00" * 16, "audio/mpeg"),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in mm.audio_metadata(df).collect()}
+    assert (got[1].sample_rate, got[1].n_samples, got[1].duration_sec) == (
+        16000, 32000, 2.0)
+    assert (got[2].sample_rate, got[2].n_samples, got[2].duration_sec) == (
+        8000, 12000, 1.5)
+    assert got[3].valid is False  # mp3: no exact sample count -> seam
