@@ -453,6 +453,53 @@ FROM reach GROUP BY v
     )
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing exact-substring pairs (operators/winnow.py, md5 oracle
+    family): docs sharing verbatim spans >= w + k - 1 chars."""
+    from data_quality_assessment_spark.operators import winnow
+
+    d = _load(spark, sf_dir, "documents")
+    # min_shared=8: template-generated fixture docs share many short
+    # 17-char spans; 8+ shared fingerprints isolates substantial
+    # verbatim overlap (measured: 32k pairs at >=2 vs 277 at >=8,
+    # sf0.01)
+    return winnow.winnow_pairs(
+        d, "doc_id", "text", min_shared=8, fast=False
+    )
+
+
+def _oracle_winnow_pairs() -> str:
+    from data_quality_assessment_spark.operators.winnow import (
+        DEFAULT_K, DEFAULT_W,
+    )
+
+    k, w = DEFAULT_K, DEFAULT_W
+    h = _SQL_H64.format(x=f"substr(txt, i, {k})")
+    return f"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN length(txt) >= {k}
+      THEN list_transform(generate_series(1, length(txt) - {k - 1}),
+                          i -> {h})
+      ELSE []::BIGINT[] END AS hh
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len(hh) >= {w}
+      THEN list_transform(generate_series(1, len(hh) - {w - 1}),
+                          i -> list_min(hh[i:i+{w - 1}]))
+      ELSE []::BIGINT[] END AS mins
+  FROM g
+),
+f AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 8
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return dedup.with_simhash(d, "doc_id", "text", fast=False)
@@ -2287,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": q_minhash_bands,
         "minhash_candidates": q_minhash_candidates,
         "near_dup_clusters": q_near_dup_clusters,
+        "winnow_pairs": q_winnow_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2341,6 +2389,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_bands": _oracle_minhash_bands(),
         "minhash_candidates": _oracle_minhash_candidates(),
         "near_dup_clusters": _oracle_near_dup_clusters(),
+        "winnow_pairs": _oracle_winnow_pairs(),
         "simhash": _oracle_simhash(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "doc_fingerprint": _oracle_fingerprint(),

@@ -1,0 +1,108 @@
+"""Winnowing fingerprints — exact-substring duplicate detection
+(Schleimer, Wilkerson & Aiken 2003, "Winnowing: Local Algorithms for
+Document Fingerprinting" — the MOSS algorithm; public paper, no
+reference-repo analog).
+
+MinHash/SimHash catch WHOLE-document near-duplicates; the remaining
+LLM-data failure mode is long VERBATIM spans shared between otherwise
+different pages (boilerplate, licenses, syndicated paragraphs —
+Lee et al. 2021's exact-substring dedup). Winnowing gives the
+shuffle-friendly form of that signal:
+
+  1. hash every char k-gram of the text (positions 1..n-k+1);
+  2. slide a window of w consecutive k-gram hashes; keep the window
+     minimum, RIGHTMOST occurrence on ties (robust winnowing);
+  3. the distinct kept (hash) values are the document's fingerprints.
+
+THE guarantee (the reason this beats strided tiling): selection
+depends on hash CONTENT, not position, so any shared substring of
+length >= w + k - 1 yields at least one identical fingerprint in both
+documents regardless of where the span sits in each (strided sampling
+misses spans whose phases differ; tested with phase-shifted plants).
+Density is ~2/(w+1) of all k-grams — the index stays a small fraction
+of the corpus.
+
+Scale shape: fingerprinting is per-row (codegen/HOF over materialized
+arrays — each step reads a computed column, the CodegenFallback
+lesson); the only shuffle groups (fingerprint -> docs), and the pair
+join is bounded by shared-fingerprint buckets like the MinHash band
+join. ``fast=True`` uses xxhash64; ``fast=False`` the md5 family the
+DuckDB oracle reproduces bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _h64
+
+DEFAULT_K = 12   # chars per gram: shorter than a sentence, longer than a word
+DEFAULT_W = 6    # window: guarantee threshold = w + k - 1 = 17 chars
+
+
+def _gram_hashes(text: Column, k: int, fast: bool) -> Column:
+    """Array of k-gram hashes (empty for texts shorter than k)."""
+    t = F.coalesce(text, F.lit(""))
+    h = (lambda s: F.xxhash64(s)) if fast else (lambda s: _h64(s))
+    return F.when(
+        F.length(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (k - 1)),
+            lambda i: h(F.substring(t, i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = DEFAULT_K, w: int = DEFAULT_W, *, fast: bool = True,
+) -> DataFrame:
+    """(id, fp) — one row per DISTINCT selected fingerprint hash.
+
+    Hash array and the per-window minima are materialized as columns
+    between steps so no HOF re-evaluates its argument subtree."""
+    d = df.select(
+        F.col(id_col), _gram_hashes(F.col(text_col), k, fast).alias("_h")
+    )
+    # window minima: for window start i (1-based), min of _h[i..i+w-1]
+    d = d.withColumn(
+        "_mins",
+        F.when(
+            F.size("_h") >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_h") - (w - 1)),
+                lambda i: F.array_min(F.slice(F.col("_h"), i, w)),
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )
+    # distinct minima ARE the fingerprint set: each window keeps its
+    # min, and a value selected anywhere is selected as a value — the
+    # (value, rightmost-position) pairs of classic winnowing collapse
+    # to values once deduped, which is all the cross-doc join needs
+    return d.select(
+        id_col, F.explode(F.array_distinct("_mins")).alias("fp")
+    )
+
+
+def winnow_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = DEFAULT_K, w: int = DEFAULT_W,
+    min_shared: int = 1, *, fast: bool = True,
+) -> DataFrame:
+    """(id_a, id_b, n_shared) — document pairs sharing >= min_shared
+    winnowing fingerprints, i.e. pairs with verbatim spans of length
+    >= w + k - 1 chars in common. Join is per-fingerprint bucket (the
+    MinHash-band shape): no all-pairs path exists."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, w, fast=fast)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
