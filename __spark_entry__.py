@@ -1039,7 +1039,7 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracking params, shuffled query order — and must collapse to the
     canonical key the DuckDB oracle derives with the same steps."""
     d = _load(spark, sf_dir, "documents")
-    m = F.col("doc_id") % 4
+    m = F.col("doc_id") % 5
     messy = (
         F.when(m == 0, F.concat(
             F.lit("HTTP://WWW."), F.upper("source"),
@@ -1051,6 +1051,11 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 7).cast("string"),
             F.lit("&gclid=abc&y=0"),
         ))
+        # multi-'?' case: RFC 3986 allows literal '?' inside values —
+        # the whole 'a=1?x&b=2' tail must survive as the query string
+        .when(m == 3, F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/r?a=1?x&b=2#f"),
+        ))
         .otherwise(F.concat(F.lit("http://"), F.col("source"), F.lit(":8080/Q/")))
     )
     return d.select(
@@ -1061,10 +1066,11 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_URL_NORMALIZE = """
 WITH m AS (
   SELECT doc_id,
-    CASE doc_id % 4
+    CASE doc_id % 5
       WHEN 0 THEN 'HTTP://WWW.' || upper(source) || ':80/A/b?b=2&utm_source=x&a=1#frag'
       WHEN 1 THEN 'https://' || source || ':443/'
       WHEN 2 THEN 'https://' || source || '/p?z=' || (doc_id % 7)::VARCHAR || '&gclid=abc&y=0'
+      WHEN 3 THEN 'https://' || source || '/r?a=1?x&b=2#f'
       ELSE 'http://' || source || ':8080/Q/'
     END AS u
   FROM documents
@@ -1075,7 +1081,9 @@ s AS (
 p AS (
   SELECT doc_id,
     split_part(d, '?', 1) AS base,
-    CASE WHEN contains(d, '?') THEN split_part(d, '?', 2) ELSE '' END AS q
+    -- everything after the FIRST '?' (literal '?' legal inside values)
+    CASE WHEN contains(d, '?')
+         THEN substr(d, length(split_part(d, '?', 1)) + 2) ELSE '' END AS q
   FROM s
 ),
 c AS (

@@ -16,15 +16,19 @@ against tiny checked-in fixtures (tests/fixtures/):
     model header (magic ``FastText_FileFormat_Magic_Int32`` =
     793712314, version, and the 12 int32/int64/double hyperparameters).
   * ``load_fasttext`` / ``FastTextModel`` — a REAL pure-numpy forward
-    pass over an unquantized supervised ``.bin``: dictionary parse,
-    FNV-1a token/char-ngram/word-ngram hashing into the bucket range,
-    mean-of-input-rows hidden state, softmax output — the complete
-    ``predict`` path of the public fastText source reimplemented
-    (format/semantics per facebookresearch/fastText
-    ``src/{fasttext,dictionary,model}.cc``; no code reuse — the
-    original is C++). Quantized ``.ftz`` bodies (product quantization)
-    and hierarchical-softmax loss raise ``NotImplementedError`` with a
-    clear message; the header still validates for them.
+    pass over a supervised ``.bin`` OR product-quantized ``.ftz``
+    (the form real langid models like lid.176.ftz actually ship as):
+    dictionary parse, FNV-1a token/char-ngram/word-ngram hashing into
+    the bucket range (with upstream's int32 narrowing in the word-ngram
+    rolling hash), PQ codebook decode for quantized matrices
+    (``QuantMatrix``/``ProductQuantizer`` layout), mean-of-input-rows
+    hidden state, softmax output — the complete ``predict`` path of
+    the public fastText source reimplemented (format/semantics per
+    facebookresearch/fastText
+    ``src/{fasttext,dictionary,model,quantmatrix,productquantizer}.cc``;
+    no code reuse — the original is C++). Hierarchical-softmax loss and
+    pruned dictionaries (quantize ``-cutoff``) raise
+    ``NotImplementedError`` with a clear message.
 
 The langid seam: ``get_fasttext()`` returns a per-worker singleton when
 ``DQ_SPARK_FASTTEXT`` names a ``.bin`` — the enrich kernel then uses
@@ -319,12 +323,21 @@ class FastTextModel:
             else:
                 hashes.append(ft_hash(tok))
         # word n-grams (``addWordNgrams``): rolling uint64 hash of
-        # consecutive token hashes into the bucket range
+        # consecutive token hashes into the bucket range. Upstream
+        # stores each uint32 hash in a vector<int32_t> and converts
+        # int32 -> uint64 in addWordNgrams, so hashes with bit 31 set
+        # SIGN-EXTEND to 0xFFFFFFFF8xxxxxxx before the rolling multiply
+        # — reproduce that narrowing or ~half of all tokens land in
+        # different buckets than real fastText.
         if h.word_ngrams > 1:
-            for i in range(len(hashes)):
-                acc = hashes[i]
-                for j in range(i + 1, min(i + h.word_ngrams, len(hashes))):
-                    acc = (acc * 116049371 + hashes[j]) & 0xFFFFFFFFFFFFFFFF
+            sx = [
+                hh | 0xFFFFFFFF00000000 if hh >= 0x80000000 else hh
+                for hh in hashes
+            ]
+            for i in range(len(sx)):
+                acc = sx[i]
+                for j in range(i + 1, min(i + h.word_ngrams, len(sx))):
+                    acc = (acc * 116049371 + sx[j]) & 0xFFFFFFFFFFFFFFFF
                     rows.append(self.nwords + int(acc % h.bucket))
         return rows, hashes
 
@@ -355,13 +368,98 @@ class FastTextModel:
         return (label, round(p, 6))
 
 
+class ProductQuantizer:
+    """fastText product quantizer (``src/productquantizer.cc``): the
+    vector space is split into ``nsubq`` sub-spaces of ``dsub`` dims
+    (the last one ``lastdsub``), each with a 256-entry (``nbits=8``)
+    centroid codebook; a row is stored as one uint8 code per sub-space.
+    Serialized as 4 int32 (dim, nsubq, dsub, lastdsub) + dim*256
+    float32 centroids; sub-space m's table starts at ``m*256*dsub``
+    (``get_centroids``)."""
+
+    KSUB = 256
+
+    def __init__(self, dim: int, nsubq: int, dsub: int, lastdsub: int,
+                 centroids) -> None:
+        import numpy as np
+
+        self.dim, self.nsubq = dim, nsubq
+        self.dsub, self.lastdsub = dsub, lastdsub
+        self.centroids = np.asarray(centroids, dtype=np.float32)
+        if self.centroids.size != dim * self.KSUB:
+            raise ValueError(
+                f"PQ centroid table has {self.centroids.size} floats, "
+                f"expected dim*256 = {dim * self.KSUB}"
+            )
+
+    @classmethod
+    def read(cls, f) -> "ProductQuantizer":
+        import numpy as np
+
+        dim, nsubq, dsub, lastdsub = struct.unpack("<4i", f.read(16))
+        cent = np.frombuffer(f.read(4 * dim * cls.KSUB), dtype="<f4")
+        return cls(dim, nsubq, dsub, lastdsub, cent)
+
+    def decode(self, codes):
+        """(m, nsubq) uint8 codes -> (m, dim) float32 rows: per
+        sub-space centroid lookup, concatenated (``addcode`` /
+        ``mulcode`` reconstruction, vectorized over all rows)."""
+        import numpy as np
+
+        m = codes.shape[0]
+        out = np.empty((m, self.dim), dtype=np.float32)
+        col = 0
+        for sub in range(self.nsubq):
+            d = self.dsub if sub < self.nsubq - 1 else self.lastdsub
+            base = sub * self.KSUB * self.dsub
+            table = self.centroids[base:base + self.KSUB * d].reshape(
+                self.KSUB, d
+            )
+            out[:, col:col + d] = table[codes[:, sub]]
+            col += d
+        return out
+
+
+def _read_quant_matrix(f):
+    """``QuantMatrix::load``: qnorm bool, int64 m/n, int32 codesize,
+    codesize uint8 codes, the input ProductQuantizer, and (iff qnorm)
+    m norm codes + a 1-dim norm quantizer. Returns the RECONSTRUCTED
+    dense (m, n) float32 matrix: rows were L2-normalized before
+    quantization when qnorm is set, so each decoded row is re-scaled by
+    its decoded norm (``QuantMatrix::dotRow``'s alpha). Reconstructing
+    densely trades the .ftz memory saving for reuse of the dense
+    forward pass — lid.176.ftz decodes to ~130 MB per worker, loaded
+    once per executor via the singleton."""
+    import numpy as np
+
+    (qnorm,) = struct.unpack("<?", f.read(1))
+    m, n = struct.unpack("<2q", f.read(16))
+    (codesize,) = struct.unpack("<i", f.read(4))
+    codes = np.frombuffer(f.read(codesize), dtype=np.uint8)
+    pq = ProductQuantizer.read(f)
+    dense = pq.decode(codes.reshape(m, pq.nsubq))
+    if qnorm:
+        norm_codes = np.frombuffer(f.read(m), dtype=np.uint8)
+        npq = ProductQuantizer.read(f)
+        if npq.dim != 1:
+            raise ValueError(f"norm quantizer dim {npq.dim} != 1")
+        norms = npq.decode(norm_codes.reshape(m, 1))
+        dense = dense * norms  # (m,1) broadcast
+    if dense.shape != (m, n):
+        raise ValueError(f"decoded {dense.shape}, header says {(m, n)}")
+    return dense
+
+
 def load_fasttext(path: str) -> FastTextModel:
-    """Parse an unquantized .bin end-to-end: header, dictionary
+    """Parse a .bin OR quantized .ftz end-to-end: header, dictionary
     (size/nwords/nlabels, ntokens, pruneidx, null-terminated entries
-    with int64 count + int8 type), then the dense input and output
-    matrices (int64 rows, int64 cols, float32 data). Layout per
+    with int64 count + int8 type), then the input and output matrices —
+    dense (int64 rows, int64 cols, float32 data) or product-quantized
+    (decoded to dense via :func:`_read_quant_matrix`). Layout per
     ``FastText::saveModel`` / ``Dictionary::save`` /
-    ``DenseMatrix::save`` in the public fastText source."""
+    ``DenseMatrix::save`` / ``QuantMatrix::save`` in the public
+    fastText source. Dictionary pruning (quantize ``-cutoff``) is not
+    supported — lid.176.ftz ships unpruned."""
     import numpy as np
 
     header = read_fasttext_header(path)
@@ -381,20 +479,23 @@ def load_fasttext(path: str) -> FastTextModel:
             _count, etype = struct.unpack("<qb", f.read(9))
             words.append(buf.decode("utf-8"))
             types.append(etype)
-        f.read(8 * prune_n)  # pruneidx pairs (int32, int32)
+        if prune_n > 0:
+            raise NotImplementedError(
+                "pruned dictionary (quantize -cutoff): input-row ids "
+                "would need pruneidx remapping; lid.176.ftz is unpruned"
+            )
         (quant_input,) = struct.unpack("<?", f.read(1))
         if quant_input:
-            raise NotImplementedError(
-                "quantized (.ftz) input matrix: product-quantization "
-                "decode not implemented — use the .bin form"
-            )
-        m, n = struct.unpack("<2q", f.read(16))
-        input_mat = np.frombuffer(f.read(4 * m * n), dtype="<f4").reshape(m, n)
+            input_mat = _read_quant_matrix(f)
+        else:
+            m, n = struct.unpack("<2q", f.read(16))
+            input_mat = np.frombuffer(f.read(4 * m * n), dtype="<f4").reshape(m, n)
         (qout,) = struct.unpack("<?", f.read(1))
         if qout:
-            raise NotImplementedError("quantized output matrix")
-        m2, n2 = struct.unpack("<2q", f.read(16))
-        output_mat = np.frombuffer(f.read(4 * m2 * n2), dtype="<f4").reshape(m2, n2)
+            output_mat = _read_quant_matrix(f)
+        else:
+            m2, n2 = struct.unpack("<2q", f.read(16))
+            output_mat = np.frombuffer(f.read(4 * m2 * n2), dtype="<f4").reshape(m2, n2)
     if sum(1 for t in types if t == 0) != nwords or (
         sum(1 for t in types if t == 1) != nlabels
     ):

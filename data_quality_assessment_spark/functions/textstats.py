@@ -144,8 +144,13 @@ def normalize_url(url: Column) -> Column:
     """
     defrag = F.substring_index(url, "#", 1)
     base = F.substring_index(defrag, "?", 1)
+    # query = everything after the FIRST '?': a literal '?' may appear
+    # inside parameter values (RFC 3986 allows it), so slicing from the
+    # last '?' would silently drop middle segments and collapse distinct
+    # URLs onto one dedup key
     query = F.when(
-        defrag.contains("?"), F.substring_index(defrag, "?", -1)
+        defrag.contains("?"),
+        F.substring(defrag, F.length(base) + 2, F.length(defrag)),
     ).otherwise(F.lit(""))
     scheme = F.lower(F.substring_index(base, "://", 1))
     rest = F.substring_index(base, "://", -1)

@@ -109,6 +109,15 @@ def entity_dup_counts(
     (O2); pass False from re-aggregating callers — at 10^8 entities the
     global sort is a needless full range-shuffle.
     """
+    if entity not in keys:
+        # winner-invariance of the post count REQUIRES the key set to
+        # determine the entity; enforce rather than assume (a violating
+        # call would return run-to-run-varying counts)
+        raise ValueError(
+            f"entity column {entity!r} must be one of the dedup keys "
+            f"{keys!r} — otherwise the per-entity post-dedup count "
+            "depends on the nondeterministic dropDuplicates winner"
+        )
     pre = df.groupBy(entity).agg(F.count(F.lit(1)).alias("n_pre"))
     post = (
         df.dropDuplicates(keys)
@@ -398,7 +407,7 @@ def jaccard_for_pairs(
 
 def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 25, checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(vertex, component) for the undirected graph of ``edges``, where
     component = the smallest vertex id reachable (deterministic labels).
@@ -407,13 +416,27 @@ def connected_components(
     min over direct neighbors' labels AND re-resolves each label to its
     own current label (label[label[v]]), so label distances halve —
     convergence in O(log diameter) rounds, not O(diameter). Every round
-    is hash-join + partial-agg (no windows, no driver-side graph);
-    lineage is cut per round with localCheckpoint (swap for
-    ``checkpoint()`` against a reliable store on a real cluster — noted
-    rather than defaulted because it needs a configured checkpoint
-    dir). Near-dup clusters are overwhelmingly tiny (pairs/triples), so
-    real corpora converge in 2-3 rounds; ``max_iter`` is a backstop,
-    with a loud error rather than silently-wrong labels."""
+    is hash-join + partial-agg (no windows, no driver-side graph).
+
+    Lineage is cut per round. ``checkpoint_dir=None`` (single-node /
+    testing) uses ``localCheckpoint`` — executor-block storage, lost on
+    executor failure. On a real cluster PASS a reliable-store path
+    (HDFS/S3): the per-round checkpoint then goes through
+    ``DataFrame.checkpoint()`` and survives executor loss, which is
+    mandatory at 100×-scale (a lost localCheckpoint block makes the
+    lineage unrecoverable and kills the job).
+
+    Near-dup clusters are overwhelmingly tiny (pairs/triples), so real
+    corpora converge in 2-3 rounds; ``max_iter`` is a backstop, with a
+    loud error rather than silently-wrong labels."""
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(d: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return d.checkpoint(eager=True)
+        return d.localCheckpoint(eager=True)
+
     e = edges.select(
         F.col(src).alias("v"), F.col(dst).alias("u")
     ).union(edges.select(F.col(dst).alias("v"), F.col(src).alias("u")))
@@ -436,7 +459,7 @@ def connected_components(
             )
             .select("v", F.coalesce("_ll", F.col("l")).alias("l"))
         )
-        new_labels = jumped.localCheckpoint(eager=True)
+        new_labels = _cut(jumped)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "v")
@@ -456,6 +479,7 @@ def connected_components(
 def near_dup_clusters(
     df: DataFrame, id_col: str, text_col: str,
     min_jaccard: float = 0.6, fast: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The full near-dup pipeline: MinHash-band candidates -> exact
     Jaccard verification (>= min_jaccard) -> connected components ->
@@ -471,7 +495,7 @@ def near_dup_clusters(
     verified = jaccard_for_pairs(df, cand, id_col, text_col).filter(
         F.col("jaccard") >= min_jaccard
     )
-    cc = connected_components(verified)
+    cc = connected_components(verified, checkpoint_dir=checkpoint_dir)
     # the component label IS the smallest reachable id, so the winner
     # test needs no window at all
     return cc.select(

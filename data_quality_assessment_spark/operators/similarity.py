@@ -186,9 +186,14 @@ def cosine_near_dup_pairs(
         F.col(block_col).alias("_blk"),
         F.col(id_col),
         _to_double(F.col(vec_col)).alias("_v"),
-    ).withColumn("_n", _norm(F.col("_v")))
+    )
+    vectorized = _use_vectorized(dim, None)
+    if not vectorized:
+        # the Arrow kernel recomputes norms internally — only the
+        # codegen pair-dot path needs _n carried through the join
+        side = side.withColumn("_n", _norm(F.col("_v")))
     a, b = side.alias("a"), side.alias("b")
-    if _use_vectorized(dim, None):
+    if vectorized:
         # high dim: one Arrow kernel per pair row (recomputes the norms
         # inside — same fold order; the literal pair-dot would be O(dim)
         # plan nodes)

@@ -32,6 +32,22 @@ from ..functions.udfs import annotate_udf, scrub_udf
 # ---------------------------------------------------------------------------
 
 
+def content_tiebreak() -> Column:
+    """The D2 content-hash tiebreak: md5 over BOTH content columns
+    (text + hex(html)), so the winner is deterministic on the WARC
+    ingest path too, where content lives in ``html`` and ``text`` is
+    null — hashing only text would give every such page the constant
+    md5('') and a repartitioning-dependent winner. Spark ``hex`` on
+    binary yields uppercase, matched by the pandas oracle
+    (tests/oracle.py) via ``bytes.hex().upper()``."""
+    return F.md5(
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.coalesce(F.hex(F.col("html")), F.lit("")),
+        )
+    )
+
+
 def dedup_pages(df: DataFrame, keys: tuple[str, ...] = ("url", "warc_ts")) -> DataFrame:
     from ..operators.dedup import dedup_exact
 
@@ -39,7 +55,7 @@ def dedup_pages(df: DataFrame, keys: tuple[str, ...] = ("url", "warc_ts")) -> Da
         df,
         list(keys),
         [
-            F.md5(F.coalesce(F.col("text"), F.lit(""))).asc(),
+            content_tiebreak().asc(),
             F.coalesce(F.col("lang"), F.lit("")).asc(),
         ],
     )
@@ -205,11 +221,11 @@ def run_pipeline(
     if dedup:
         # content tiebreak materialized BEFORE annotate so the window
         # sort key shuffles as 32 chars instead of dragging `text`
-        # through the exchange (D2 determinism, SURVEY.md §2.3)
+        # through the exchange (D2 determinism, SURVEY.md §2.3); hashes
+        # text AND html so WARC-ingested pages get a real content order
         from ..operators.dedup import dedup_exact
 
-        tb = F.md5(F.coalesce(F.col("text"), F.lit("")))
-        df = annotate(df.withColumn("_tb", tb))
+        df = annotate(df.withColumn("_tb", content_tiebreak()))
         df = dedup_exact(
             df,
             list(cfg.dedup_keys),

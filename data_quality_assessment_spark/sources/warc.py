@@ -46,41 +46,46 @@ WARC_RECORD_SCHEMA = T.StructType([
 ])
 
 
-def parse_warc_records(buf: bytes) -> list[dict]:
-    """All records in one (decompressed) WARC buffer. Malformed tails
-    stop the parse rather than raising — a truncated crawl file yields
+def iter_warc_records(fobj) -> Iterator[dict]:
+    """Stream records from a (decompressed) file-like object — one
+    record's headers + block resident at a time, so per-task memory is
+    bounded by the largest RECORD, not the decompressed FILE (a ~1 GB
+    CC ``.warc.gz`` inflates to 4-5 GB; materializing that per Python
+    worker is an OOM at default executor memory). Malformed tails stop
+    the iteration rather than raising — a truncated crawl file yields
     its complete prefix records."""
-    out: list[dict] = []
-    i = 0
-    n = len(buf)
-    while i < n:
-        # skip inter-record CRLFs
-        while i < n and buf[i:i + 2] == b"\r\n":
-            i += 2
-        if i >= n:
-            break
-        if not buf.startswith(b"WARC/", i):
-            break
-        hdr_end = buf.find(b"\r\n\r\n", i)
-        if hdr_end < 0:
-            break
+    while True:
+        line = fobj.readline()
+        # skip inter-record CRLF lines
+        while line in (b"\r\n", b"\n"):
+            line = fobj.readline()
+        if not line or not line.startswith(b"WARC/"):
+            return
         headers: dict[str, str] = {}
-        for line in buf[i:hdr_end].split(b"\r\n")[1:]:
-            k, _, v = line.partition(b":")
+        while True:
+            hl = fobj.readline()
+            if not hl:
+                return
+            if hl in (b"\r\n", b"\n"):
+                break
+            k, _, v = hl.partition(b":")
             headers[k.strip().decode("ascii", "replace").lower()] = (
                 v.strip().decode("utf-8", "replace")
             )
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            break
-        block_start = hdr_end + 4
-        if block_start + length > n:
-            break
-        block = buf[block_start:block_start + length]
-        out.append({"headers": headers, "block": block})
-        i = block_start + length
-    return out
+            return
+        block = fobj.read(length)
+        if len(block) < length:
+            return
+        yield {"headers": headers, "block": block}
+
+
+def parse_warc_records(buf: bytes) -> list[dict]:
+    """All records in one in-memory WARC buffer (fixture/test helper —
+    production paths stream via :func:`iter_warc_records`)."""
+    return list(iter_warc_records(io.BytesIO(buf)))
 
 
 def _parse_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
@@ -117,26 +122,36 @@ def _iso_ts(s: str | None) -> datetime | None:
         return None
 
 
-def records_from_file_bytes(content: bytes) -> list[tuple]:
-    """File bytes (.warc or .warc.gz) -> rows of WARC_RECORD_SCHEMA."""
-    if content[:2] == b"\x1f\x8b":
-        content = gzip.decompress(content)
-    rows = []
-    for rec in parse_warc_records(content):
+def iter_rows_from_file_bytes(content: bytes) -> Iterator[tuple]:
+    """File bytes (.warc or .warc.gz) -> rows of WARC_RECORD_SCHEMA,
+    yielded as parsed. Gzip input decompresses INCREMENTALLY
+    (``gzip.GzipFile`` reads concatenated CC members transparently), so
+    peak memory is the raw file (held by binaryFile) + one record —
+    never the whole decompressed stream."""
+    fobj = (
+        gzip.GzipFile(fileobj=io.BytesIO(content))
+        if content[:2] == b"\x1f\x8b"
+        else io.BytesIO(content)
+    )
+    for rec in iter_warc_records(fobj):
         h = rec["headers"]
         wtype = h.get("warc-type")
         status, ctype, body = (None, None, rec["block"])
         if wtype == "response":
             status, ctype, body = _parse_http_response(rec["block"])
-        rows.append((
+        yield (
             h.get("warc-target-uri"),
             _iso_ts(h.get("warc-date")),
             wtype,
             ctype or h.get("content-type"),
             status,
             bytes(body),
-        ))
-    return rows
+        )
+
+
+def records_from_file_bytes(content: bytes) -> list[tuple]:
+    """Materialized form of :func:`iter_rows_from_file_bytes` (tests)."""
+    return list(iter_rows_from_file_bytes(content))
 
 
 def read_warc(
@@ -149,16 +164,24 @@ def read_warc(
     ``plans.pipeline.run_pipeline`` after renaming ``html``."""
     files = spark.read.format("binaryFile").load(path)
 
+    cols = ["url", "warc_ts", "warc_type", "content_type",
+            "http_status", "html"]
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # emit bounded chunks: a 1 GB CC file holds ~50-100k records;
+        # 2000 rows/DataFrame keeps the Arrow batch + record bodies
+        # well under executor-python memory regardless of file size
+        chunk = 2000
         for b in batches:
-            rows = []
+            rows: list[tuple] = []
             for content in b["content"]:
-                rows.extend(records_from_file_bytes(bytes(content)))
-            yield pd.DataFrame(
-                rows,
-                columns=["url", "warc_ts", "warc_type", "content_type",
-                         "http_status", "html"],
-            )
+                for row in iter_rows_from_file_bytes(bytes(content)):
+                    rows.append(row)
+                    if len(rows) >= chunk:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     out = files.select("content").mapInPandas(fn, WARC_RECORD_SCHEMA)
     if responses_only:

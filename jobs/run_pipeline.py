@@ -46,10 +46,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", default=None)
     p.add_argument("--no-dedup", action="store_true")
     p.add_argument(
-        "--materialize-scrub", action="store_true",
-        help="write full scrubbed_text bytes; default keeps the engine's "
-        "NULL-means-unchanged convention (near-zero column on clean "
-        "text — consumers coalesce via plans.pipeline.materialize_scrubbed)",
+        "--materialize-scrub", default=True,
+        action=argparse.BooleanOptionalAction,
+        help="write full scrubbed_text bytes at the sink (DEFAULT — the "
+        "parquet contract stays 'scrubbed_text = the bytes'); "
+        "--no-materialize-scrub keeps the engine-internal "
+        "NULL-means-unchanged convention in the output (near-zero "
+        "column on clean text; consumers must coalesce via "
+        "plans.pipeline.materialize_scrubbed)",
     )
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--master", default=None)

@@ -35,10 +35,20 @@ def _md5(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
 
 
+def _content_tb(r) -> str:
+    """md5 over text + uppercase-hex(html) — mirrors
+    plans/pipeline.content_tiebreak (Spark hex(binary) is uppercase)."""
+    t = r.get("text") if isinstance(r.get("text"), str) else ""
+    h = r.get("html")
+    hx = h.hex().upper() if isinstance(h, (bytes, bytearray)) else ""
+    return _md5(t + hx)
+
+
 def oracle_dedup(df: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic keep-one per (url, warc_ts): min (md5(text), lang)."""
+    """Deterministic keep-one per (url, warc_ts):
+    min (md5(text + hex(html)), lang)."""
     d = df.copy()
-    d["_tb"] = d["text"].map(lambda t: _md5(t if isinstance(t, str) else ""))
+    d["_tb"] = d.apply(_content_tb, axis=1)
     d["_tb2"] = d["lang"].map(lambda x: x if isinstance(x, str) else "")
     d["_ts_key"] = d["warc_ts"].astype("object").map(
         lambda t: "NULL" if pd.isna(t) else str(t)

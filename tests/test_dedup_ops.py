@@ -98,6 +98,49 @@ def test_dedup_exact_permutation_invariant(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_dedup_pages_html_only_deterministic_winner(spark):
+    """WARC-path D2 determinism: dup groups where content lives in
+    ``html`` (text null) must pick the same winner under any input
+    order / partitioning, and that winner must be the min
+    md5(text + hex(html)) row (plans/pipeline.content_tiebreak)."""
+    import datetime
+    import hashlib
+
+    from data_quality_assessment_spark.plans.pipeline import dedup_pages
+
+    ts = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = []
+    for g in range(6):
+        for v in range(4):  # 4 html variants per (url, warc_ts) group
+            rows.append(
+                (f"https://h/{g}", ts, f"<p>body {g} variant {v}</p>".encode(),
+                 None, None)
+            )
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    df = spark.createDataFrame(rows, schema)
+
+    def winners(d):
+        return {
+            (r.url, bytes(r.html))
+            for r in dedup_pages(d).select("url", "html").collect()
+        }
+
+    a = winners(df)
+    b = winners(df.orderBy(F.desc("html")).repartition(13))
+    c = winners(df.repartition(3, "url"))
+    assert a == b == c
+    # winner = min md5('' + uppercase-hex(html)) within each group
+    expect = set()
+    for g in range(6):
+        variants = [f"<p>body {g} variant {v}</p>".encode() for v in range(4)]
+        best = min(
+            variants,
+            key=lambda h: hashlib.md5(h.hex().upper().encode()).hexdigest(),
+        )
+        expect.add((f"https://h/{g}", best))
+    assert a == expect
+
+
 def test_dup_count_metric_values(spark):
     df = spark.createDataFrame(
         [("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 1), ("b", 1)],
@@ -140,6 +183,35 @@ def test_connected_components_long_path(spark):
     }
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches localCheckpoint -> reliable checkpoint();
+    same labels, and checkpoint files actually land in the dir."""
+    import os
+
+    n = 20
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r.vertex: r.component
+        for r in dedup.connected_components(
+            edges, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == n + 1
+    wrote = any(files for _, _, files in os.walk(ckpt))
+    assert wrote, "reliable checkpoint dir is empty"
+
+
+def test_entity_dup_counts_rejects_non_key_entity(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "y")], "k string, t int, e string"
+    )
+    with pytest.raises(ValueError, match="must be one of the dedup keys"):
+        dedup.entity_dup_counts(df, "e", ["k", "t"])
 
 
 def test_near_dup_clusters_end_to_end(spark):

@@ -297,9 +297,17 @@ def test_fasttext_subword_buckets(tmp_path):
     # 3 chars, "<cat>" is 5; ngrams are length<=3 so no full-span entry
 
 
+def _sx32(h: int) -> int:
+    """uint32 -> int32 -> uint64 (fastText's vector<int32_t> narrowing
+    + sign-extending conversion inside addWordNgrams)."""
+    return h | 0xFFFFFFFF00000000 if h >= 0x80000000 else h
+
+
 def test_fasttext_word_ngrams(tmp_path):
     """wordNgrams=2: consecutive token-hash pairs hash into the bucket
-    range with the rolling 116049371 multiplier."""
+    range with the rolling 116049371 multiplier, with each uint32 token
+    hash narrowed through int32 and sign-extended to uint64 first
+    (upstream Dictionary::addWordNgrams semantics)."""
     import numpy as np
 
     bucket = 11
@@ -312,32 +320,231 @@ def test_fasttext_word_ngrams(tmp_path):
     )
     m = ml.load_fasttext(str(p))
     rows, hashes = m._line_rows("a b")
-    h_ab = (ml.ft_hash("a") * 116049371 + ml.ft_hash("b")) % (1 << 64) % bucket
+    h_ab = (
+        (_sx32(ml.ft_hash("a")) * 116049371 + _sx32(ml.ft_hash("b")))
+        % (1 << 64) % bucket
+    )
     assert (3 + h_ab) in rows
     assert hashes == [ml.ft_hash("a"), ml.ft_hash("b"), ml.ft_hash("</s>")]
 
 
-def test_fasttext_quantized_rejected(tmp_path):
+def test_fasttext_word_ngrams_sign_extension(tmp_path):
+    """A token whose uint32 hash has bit 31 set must bucket as if
+    sign-extended (0xFFFFFFFF8xxxxxxx), not as the raw uint32 — the
+    divergence that made round-3 predictions differ from real .bin
+    models on ~half of all tokens."""
+    import numpy as np
+
+    # find two short ascii tokens, one with bit 31 set, one without
+    hi = next(
+        w for w in ("a", "b", "c", "d", "e", "f", "g", "x", "y", "z",
+                    "aa", "ab", "ac")
+        if ml.ft_hash(w) >= 0x80000000
+    )
+    lo = next(
+        w for w in ("a", "b", "c", "d", "e", "f", "g", "x", "y", "z",
+                    "aa", "ab", "ac")
+        if ml.ft_hash(w) < 0x80000000
+    )
+    bucket = 2_000_003  # large: raw-uint32 vs sign-extended must differ
+    words = [hi, lo, "</s>"]
+    p = tmp_path / "m5.bin"
+    _write_ft_bin(
+        p, words, ["__label__z"], np.ones((3 + bucket, 2)),
+        np.ones((1, 2)), dim=2, bucket=bucket, word_ngrams=2,
+    )
+    m = ml.load_fasttext(str(p))
+    rows, _ = m._line_rows(f"{hi} {lo}")
+    good = (
+        (_sx32(ml.ft_hash(hi)) * 116049371 + _sx32(ml.ft_hash(lo)))
+        % (1 << 64) % bucket
+    )
+    bad = (
+        (ml.ft_hash(hi) * 116049371 + ml.ft_hash(lo))
+        % (1 << 64) % bucket
+    )
+    assert good != bad  # the test would be vacuous otherwise
+    assert (3 + good) in rows
+    assert (3 + bad) not in rows
+
+
+# ---------------------------------------------------------------------------
+# quantized .ftz (product quantization)
+# ---------------------------------------------------------------------------
+
+
+def _exact_pq(mat, dsub):
+    """Build an EXACT product-quantizer codebook for ``mat`` (each
+    sub-space must have <= 256 distinct sub-vectors): decode(codes)
+    reproduces mat bit-for-bit, so the .ftz twin must predict
+    IDENTICALLY to its .bin twin — a sharper check than tolerating
+    'within PQ error'."""
+    import numpy as np
+
+    m, dim = np.asarray(mat).shape
+    nsubq = (dim + dsub - 1) // dsub
+    lastdsub = dim % dsub or dsub
+    cent = np.zeros(dim * 256, dtype=np.float32)
+    codes = np.zeros((m, nsubq), dtype=np.uint8)
+    for sub in range(nsubq):
+        d = dsub if sub < nsubq - 1 else lastdsub
+        block = np.asarray(mat, dtype=np.float32)[:, sub * dsub:sub * dsub + d]
+        uniq, inv = np.unique(block, axis=0, return_inverse=True)
+        assert len(uniq) <= 256, "fixture sub-space needs <=256 distinct vecs"
+        base = sub * 256 * dsub
+        cent[base:base + uniq.size] = uniq.ravel()
+        codes[:, sub] = inv.reshape(-1)  # numpy>=2.1 keeps dims with axis=
+    return codes, cent, nsubq, lastdsub
+
+
+def _write_quant_matrix(f, mat, *, dsub=2, qnorm=True):
+    """QuantMatrix::save layout (see model_loaders._read_quant_matrix)."""
     import struct
 
     import numpy as np
 
-    p = tmp_path / "q.ftz"
-    _write_ft_bin(p, ["a", "</s>"], ["__label__x"], np.ones((2, 2)),
-                  np.ones((1, 2)), dim=2)
-    data = bytearray(p.read_bytes())
-    # flip the quant_input bool (directly after dict): find it by
-    # re-walking the layout via the loader's own offsets is overkill —
-    # rewrite the file with quant byte True
+    mat = np.asarray(mat, dtype=np.float32)
+    m, n = mat.shape
+    if qnorm:
+        norms = np.linalg.norm(mat.astype(np.float64), axis=1).astype(
+            np.float32
+        )
+        normalized = (mat / norms[:, None]).astype(np.float32)
+    else:
+        normalized = mat
+    codes, cent, nsubq, lastdsub = _exact_pq(normalized, dsub)
+    f.write(struct.pack("<?", qnorm))
+    f.write(struct.pack("<2q", m, n))
+    f.write(struct.pack("<i", m * nsubq))
+    f.write(codes.tobytes())
+    f.write(struct.pack("<4i", n, nsubq, dsub, lastdsub))
+    f.write(cent.tobytes())
+    if qnorm:
+        ncodes, ncent, _, _ = _exact_pq(norms[:, None], 1)
+        f.write(ncodes.tobytes())
+        f.write(struct.pack("<4i", 1, 1, 1, 1))
+        f.write(ncent.tobytes())
+
+
+def _write_ft_ftz(path, words, labels, input_mat, output_mat, *,
+                  dim, bucket=0, minn=0, maxn=0, word_ngrams=1,
+                  qout=True, qnorm=True, dsub=2):
+    """Synthesize a quantized supervised .ftz: same header/dictionary
+    as .bin, quant flags True, QuantMatrix bodies."""
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", ml.FASTTEXT_MAGIC, 12))
+        f.write(struct.pack(
+            "<12i", dim, 5, 5, 1, 5, word_ngrams, 3, 3, bucket, minn, maxn, 100
+        ))
+        f.write(struct.pack("<d", 1e-4))
+        size = len(words) + len(labels)
+        f.write(struct.pack("<3i", size, len(words), len(labels)))
+        f.write(struct.pack("<2q", 1000, 0))
+        for w in words:
+            f.write(w.encode("utf-8") + b"\x00" + struct.pack("<qb", 10, 0))
+        for la in labels:
+            f.write(la.encode("utf-8") + b"\x00" + struct.pack("<qb", 5, 1))
+        f.write(struct.pack("<?", True))  # quant_input
+        _write_quant_matrix(f, input_mat, dsub=dsub, qnorm=qnorm)
+        f.write(struct.pack("<?", qout))
+        if qout:
+            _write_quant_matrix(f, output_mat, dsub=dsub, qnorm=qnorm)
+        else:
+            import numpy as np
+
+            om = np.asarray(output_mat, dtype="<f4")
+            f.write(struct.pack("<2q", *om.shape))
+            f.write(om.tobytes())
+
+
+@pytest.mark.parametrize("qnorm,qout", [(True, True), (False, False),
+                                        (True, False)])
+def test_fasttext_quantized_matches_dense_twin(tmp_path, qnorm, qout):
+    """An .ftz with an exact codebook predicts like its .bin twin: same
+    labels, probabilities within float32 reconstruction error."""
+    import numpy as np
+
+    words = ["bonjour", "monde", "hello", "world", "</s>"]
+    labels = ["__label__fr", "__label__en"]
+    rng = np.random.RandomState(11)
+    im = rng.randn(5, 4).astype(np.float32)
+    om = rng.randn(2, 4).astype(np.float32)
+    pb = tmp_path / "m.bin"
+    pq = tmp_path / "m.ftz"
+    _write_ft_bin(pb, words, labels, im, om, dim=4)
+    _write_ft_ftz(pq, words, labels, im, om, dim=4, qnorm=qnorm, qout=qout)
+    dense = ml.load_fasttext(str(pb))
+    quant = ml.load_fasttext(str(pq))
+    np.testing.assert_allclose(quant.input, im, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(quant.output, om, rtol=1e-6, atol=1e-6)
+    for text in ("bonjour monde", "hello world", "bonjour hello", ""):
+        gd = dense.predict(text, k=2)
+        gq = quant.predict(text, k=2)
+        assert [l for l, _ in gd] == [l for l, _ in gq]
+        for (_, p1), (_, p2) in zip(gd, gq):
+            assert abs(p1 - p2) < 1e-5
+
+
+def test_fasttext_quantized_odd_dim_lastdsub(tmp_path):
+    """dim=5, dsub=2 -> nsubq=3 with lastdsub=1: the trailing sub-space
+    offset math (get_centroids' special last-block layout) must decode
+    the tail dimension correctly."""
+    import numpy as np
+
+    words = ["a", "b", "</s>"]
+    labels = ["__label__x", "__label__y"]
+    rng = np.random.RandomState(7)
+    im = rng.randn(3, 5).astype(np.float32)
+    om = rng.randn(2, 5).astype(np.float32)
+    pq = tmp_path / "odd.ftz"
+    _write_ft_ftz(pq, words, labels, im, om, dim=5, qnorm=True, qout=True)
+    m = ml.load_fasttext(str(pq))
+    np.testing.assert_allclose(m.input, im, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(m.output, om, rtol=1e-6, atol=1e-6)
+
+
+def test_fasttext_quantized_seam(tmp_path, monkeypatch):
+    """DQ_SPARK_FASTTEXT pointing at an .ftz drives the enrich kernel's
+    langid exactly like a .bin (the lid.176.ftz user path)."""
+    import numpy as np
+
+    from data_quality_assessment_spark.functions import kernel
+    from data_quality_assessment_spark.functions import model_loaders as mlm
+
+    words = ["bonjour", "</s>"]
+    labels = ["__label__fr", "__label__en"]
+    im = np.array([[5.0, 1.0], [0.5, 1.0]], dtype=np.float32)
+    om = np.array([[1.0, 0.25], [-1.0, 0.25]], dtype=np.float32)
+    p = tmp_path / "lid.ftz"
+    _write_ft_ftz(p, words, labels, im, om, dim=2, qnorm=True, qout=True)
+
+    monkeypatch.setenv("DQ_SPARK_FASTTEXT", str(p))
+    mlm._FT_SINGLETON = None
+    out = kernel.enrich_batch([None], ["bonjour bonjour"])
+    assert out["lang_pred"][0] == "fr"
+    assert 0.5 < out["lang_conf"][0] <= 1.0
+    monkeypatch.delenv("DQ_SPARK_FASTTEXT")
+    mlm._FT_SINGLETON = None
+    mlm._FT_SINGLETON_PATH = None
+
+
+def test_fasttext_pruned_dictionary_rejected(tmp_path):
+    import struct
+
+    import numpy as np
+
+    p = tmp_path / "pruned.ftz"
     with open(p, "wb") as f:
         f.write(struct.pack("<ii", ml.FASTTEXT_MAGIC, 12))
         f.write(struct.pack("<12i", 2, 5, 5, 1, 5, 1, 3, 3, 0, 0, 0, 100))
         f.write(struct.pack("<d", 1e-4))
         f.write(struct.pack("<3i", 1, 1, 0))
-        f.write(struct.pack("<2q", 10, 0))
+        f.write(struct.pack("<2q", 10, 2))  # pruneidx_size = 2
         f.write(b"a\x00" + struct.pack("<qb", 10, 0))
-        f.write(struct.pack("<?", True))  # quantized input
-    with pytest.raises(NotImplementedError, match="quantized"):
+        f.write(struct.pack("<2i", 0, 0) + struct.pack("<2i", 1, 1))
+    with pytest.raises(NotImplementedError, match="pruned"):
         ml.load_fasttext(str(p))
 
 
