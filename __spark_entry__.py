@@ -1843,6 +1843,74 @@ FROM documents
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV PCM bytes (RIFF fmt+data, int16 samples derived from
+    doc_id) built per document, decoded back through the dependency-free
+    sample decoder (multimodal.wav_samples_raw) into rms / peak /
+    zero-crossing-rate features computed in exact integer arithmetic;
+    the oracle re-derives the same sample series with generate_series
+    and the same integer sums. Proves the PCM decode is real, not a
+    header-only stub."""
+    from data_quality_assessment_spark.functions import multimodal as mmod
+
+    d = _load(spark, sf_dir, "documents")
+
+    import numpy as np
+    import pandas as pd
+
+    def make_blobs(batches):
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                n = did % 50 + 4
+                k = np.arange(n, dtype=np.int64)
+                s = ((did * 31 + k * 7) % 200 - 100) * 50
+                rate = did % 8000 + 8000
+                rows.append(
+                    (did, "audio", mmod.encode_wav(rate, s), "audio/wav")
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "blob", "mime"]
+            )
+
+    media = d.select("doc_id").mapInPandas(make_blobs, mmod.MEDIA_SCHEMA)
+    return mmod.audio_features(media)
+
+
+ORACLE_AUDIO_FEATURES = """
+WITH s AS (
+  SELECT doc_id, g.k,
+    ((doc_id * 31 + g.k * 7) % 200 - 100) * 50 AS v
+  FROM documents,
+    unnest(generate_series(0, doc_id % 50 + 3)) AS g(k)
+),
+l AS (
+  SELECT doc_id, k, v,
+    lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+  FROM s
+),
+a AS (
+  SELECT doc_id,
+    count(*) AS n,
+    sum(v * v) AS ssq,
+    max(abs(v)) AS pk,
+    sum(CASE WHEN prev IS NOT NULL AND ((prev >= 0) <> (v >= 0))
+         THEN 1 ELSE 0 END) AS trans
+  FROM l GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+  (doc_id % 8000 + 8000)::INT AS sample_rate,
+  n::BIGINT AS n_samples,
+  n::DOUBLE / (doc_id % 8000 + 8000) AS duration_sec,
+  round(sqrt(ssq::DOUBLE / n) / 32768, 6) AS rms,
+  round(pk::DOUBLE / 32768, 6) AS peak,
+  round(trans::DOUBLE / (n - 1), 6) AS zcr,
+  true AS valid
+FROM a
+"""
+
+
 def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL minimal MP4 headers (ftyp + moov[mvhd + trak[tkhd]]) built
     per doc with doc_id-derived timescale/duration/dimensions, pushed
@@ -2377,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "image_metadata": q_image_metadata,
         "audio_metadata": q_audio_metadata,
+        "audio_features": q_audio_features,
         "frame_sample": q_frame_sample,
         "video_metadata": q_video_metadata,
         "warc_roundtrip": q_warc_roundtrip,
@@ -2432,6 +2501,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _oracle_ann_ivf_topk(),
         "image_metadata": ORACLE_IMAGE_META,
         "audio_metadata": ORACLE_AUDIO_META,
+        "audio_features": ORACLE_AUDIO_FEATURES,
         "frame_sample": ORACLE_FRAME_SAMPLE,
         "video_metadata": ORACLE_VIDEO_META,
         "warc_roundtrip": ORACLE_WARC_ROUNDTRIP,

@@ -417,6 +417,163 @@ def wav_metadata(blob: bytes) -> tuple[int, int] | None:
     return None
 
 
+def encode_wav(
+    rate: int, samples, *, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Spec-layout RIFF/WAVE PCM bytes for fixtures and sinks:
+    fmt chunk (format 1 = integer PCM) + data chunk of little-endian
+    interleaved samples. ``samples`` is an int sequence already in the
+    target bit range."""
+    sampwidth = bits // 8
+    arr = np.asarray(samples)
+    if bits == 16:
+        data = arr.astype("<i2").tobytes()
+    elif bits == 8:  # WAV 8-bit PCM is UNSIGNED with a 128 bias
+        data = (arr + 128).astype("u1").tobytes()
+    elif bits == 32:
+        data = arr.astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported bits={bits}")
+    block_align = channels * sampwidth
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, bits
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def wav_samples_raw(blob: bytes):
+    """(sample_rate, channels, norm, samples) from a RIFF/WAVE blob —
+    the actual PCM SAMPLE decode (plain struct layouts, no codec):
+    integer PCM 8 (unsigned, 128-biased) / 16 / 24 / 32-bit and IEEE
+    float 32/64 all decode; samples come back as an int64 array
+    (integer formats — EXACT, so downstream stats can stay in integer
+    arithmetic) or float64 (float formats, norm=1), interleaved when
+    multi-channel, with ``norm`` the full-scale divisor. None if the
+    blob is not RIFF/WAVE or carries a compressed format."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(blob)
+    fmt_code = rate = channels = bits = None
+    data = None
+    while i + 8 <= n:
+        cid = blob[i:i + 4]
+        size = struct.unpack("<I", blob[i + 4:i + 8])[0]
+        body = i + 8
+        if cid == b"fmt " and size >= 16 and body + 16 <= n:
+            fmt_code, channels, rate, _bps, _ba, bits = struct.unpack(
+                "<HHIIHH", blob[body:body + 16]
+            )
+        elif cid == b"data":
+            data = blob[body:min(body + size, n)]
+        i = body + size + (size & 1)
+    if rate is None or data is None:
+        return None
+    if fmt_code == 1:  # integer PCM
+        if bits == 16:
+            x = np.frombuffer(data[:len(data) // 2 * 2], dtype="<i2")
+        elif bits == 8:
+            x = np.frombuffer(data, dtype="u1").astype(np.int64) - 128
+        elif bits == 32:
+            x = np.frombuffer(data[:len(data) // 4 * 4], dtype="<i4")
+        elif bits == 24:
+            b3 = np.frombuffer(data[:len(data) // 3 * 3], dtype=np.uint8)
+            b3 = b3.reshape(-1, 3).astype(np.int64)
+            x = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+            x = np.where(x >= 1 << 23, x - (1 << 24), x)
+        else:
+            return None
+        return (rate, channels, float(1 << (bits - 1)),
+                np.asarray(x, dtype=np.int64))
+    if fmt_code == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(data[:len(data) // 4 * 4], dtype="<f4")
+        elif bits == 64:
+            x = np.frombuffer(data[:len(data) // 8 * 8], dtype="<f8")
+        else:
+            return None
+        return (rate, channels, 1.0, np.asarray(x, dtype=np.float64))
+    return None  # compressed (ADPCM/mu-law/...) — out of scope
+
+
+def wav_samples(blob: bytes):
+    """(sample_rate, mono float64 samples in [-1, 1]) — normalized,
+    channel-averaged convenience form of :func:`wav_samples_raw`."""
+    raw = wav_samples_raw(blob)
+    if raw is None:
+        return None
+    rate, channels, norm, x = raw
+    x = np.asarray(x, dtype=np.float64) / norm
+    if channels > 1:
+        x = x[:len(x) // channels * channels].reshape(-1, channels).mean(axis=1)
+    return (rate, x)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_sec", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+    T.StructField("zcr", T.DoubleType()),
+    T.StructField("valid", T.BooleanType()),
+])
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio features from WAV PCM sample decode (media table ->
+    one feature row per blob): rms energy, peak amplitude, zero-crossing
+    rate, duration. Integer PCM stats are computed in EXACT int64
+    arithmetic (sum of squares, abs-max, sign-change count) with one
+    final float division/sqrt, so results are bit-stable across
+    engines/batch orders — the property the DuckDB oracle query checks.
+    Non-WAV / compressed blobs yield valid=false rows. Same streaming
+    shape as the other extractors: mapInPandas, blob dropped before any
+    shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "sample_rate", "n_samples", "duration_sec",
+                "rms", "peak", "zcr", "valid"]
+        for b in batches:
+            rows = []
+            for mid, blob in zip(b["media_id"], b["blob"]):
+                raw = wav_samples_raw(bytes(blob)) if blob is not None else None
+                if raw is None or raw[3].size == 0:
+                    rows.append((mid, None, None, None, None, None, None,
+                                 False))
+                    continue
+                rate, channels, norm, x = raw
+                if channels > 1:  # average to mono (float path)
+                    x = (
+                        x[:x.size // channels * channels]
+                        .reshape(-1, channels).astype(np.float64)
+                        .mean(axis=1)
+                    )
+                nsamp = int(x.size)
+                if np.issubdtype(x.dtype, np.integer):
+                    ssq = int(np.dot(x, x))        # exact int64 path
+                    pk = int(np.abs(x).max())
+                else:
+                    ssq = float(np.dot(x, x))
+                    pk = float(np.abs(x).max())
+                nonneg = x >= 0
+                trans = int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
+                rows.append((
+                    mid, rate, nsamp, nsamp / rate,
+                    round(float(np.sqrt(ssq / nsamp)) / norm, 6),
+                    round(pk / norm, 6),
+                    round(trans / (nsamp - 1), 6) if nsamp > 1 else 0.0,
+                    True,
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "blob").mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
+
+
 _MP3_BITRATES = (  # kbps, MPEG-1 Layer III
     0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0
 )

@@ -364,3 +364,93 @@ def test_audio_metadata_wav(spark):
     assert (got[2].sample_rate, got[2].n_samples, got[2].duration_sec) == (
         8000, 12000, 1.5)
     assert got[3].valid is False  # mp3: no exact sample count -> seam
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM sample decode + real audio features
+# ---------------------------------------------------------------------------
+
+
+def test_wav_samples_roundtrip_16bit():
+    import numpy as np
+
+    s = np.array([0, 100, -100, 32767, -32768, 5], dtype=np.int64)
+    blob = mm.encode_wav(8000, s)
+    rate, ch, norm, x = mm.wav_samples_raw(blob)
+    assert (rate, ch, norm) == (8000, 1, 32768.0)
+    assert x.tolist() == s.tolist()
+    rate2, mono = mm.wav_samples(blob)
+    assert rate2 == 8000
+    np.testing.assert_allclose(mono, s / 32768.0)
+
+
+def test_wav_samples_8_and_32_bit():
+    import numpy as np
+
+    s8 = np.array([0, 127, -128, 64], dtype=np.int64)
+    r, ch, norm, x = mm.wav_samples_raw(mm.encode_wav(4000, s8, bits=8))
+    assert norm == 128.0 and x.tolist() == s8.tolist()
+    s32 = np.array([0, 2**31 - 1, -(2**31), 42], dtype=np.int64)
+    r, ch, norm, x = mm.wav_samples_raw(mm.encode_wav(4000, s32, bits=32))
+    assert norm == 2.0**31 and x.tolist() == s32.tolist()
+
+
+def test_wav_samples_24bit_and_float():
+    import struct
+
+    import numpy as np
+
+    # hand-built 24-bit PCM: values 1, -1, 8388607, -8388608
+    vals = [1, -1, 8388607, -8388608]
+    data = b"".join(
+        struct.pack("<I", v & 0xFFFFFFFF)[:3] for v in vals
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    r, ch, norm, x = mm.wav_samples_raw(blob)
+    assert norm == float(1 << 23) and x.tolist() == vals
+    # IEEE float32 (format code 3)
+    fvals = np.array([0.5, -0.25, 1.0, -1.0], dtype="<f4")
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 16)
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 16) + fvals.tobytes()
+    )
+    r, ch, norm, x = mm.wav_samples_raw(blob)
+    assert norm == 1.0
+    np.testing.assert_allclose(x, fvals.astype(np.float64))
+
+
+def test_wav_samples_stereo_mono_mix():
+    import numpy as np
+
+    inter = np.array([100, 300, -100, -300], dtype=np.int64)  # L,R,L,R
+    blob = mm.encode_wav(8000, inter, channels=2)
+    rate, mono = mm.wav_samples(blob)
+    np.testing.assert_allclose(mono, [200 / 32768.0, -200 / 32768.0])
+
+
+def test_audio_features_values(spark):
+    """Feature math pinned by hand on a tiny signal + invalid-blob row."""
+    import numpy as np
+
+    s = np.array([100, -100, 100, -100], dtype=np.int64)
+    rows = [
+        (1, "audio", mm.encode_wav(8000, s), "audio/wav"),
+        (2, "audio", b"not a wav", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in mm.audio_features(df).collect()}
+    r1 = got[1]
+    assert (r1.sample_rate, r1.n_samples) == (8000, 4)
+    assert r1.duration_sec == 4 / 8000
+    assert r1.rms == round(100 / 32768.0, 6)   # constant magnitude
+    assert r1.peak == round(100 / 32768.0, 6)
+    assert r1.zcr == 1.0                        # every step crosses
+    assert r1.valid
+    assert got[2].valid is False
