@@ -500,6 +500,114 @@ GROUP BY 1, 2 HAVING count(*) >= 8
 """
 
 
+def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL (operators/winnow.exact_substring_removal,
+    md5 oracle family): deterministic pair corpus — docs (2i, 2i+1)
+    share a ~55-char planted span at DIFFERENT phases (the odd doc is
+    prefixed by doc_id%7 'p's) — the odd (lower-priority) doc must come
+    back with the span excised, the even canonical copy and unpaired
+    docs untouched. The oracle re-derives the full computation in SQL:
+    gram hashes, winnowing pair gating, per-pair matched-run islands,
+    covered-position union, char-level excision."""
+    from data_quality_assessment_spark.operators import winnow
+
+    d = _load(spark, sf_dir, "documents").filter("doc_id < 120")
+    i = F.expr("doc_id div 2").cast("string")
+    span = F.repeat(F.concat(F.lit("shared segment "), i, F.lit(" ")), 3)
+    did = F.col("doc_id").cast("string")
+    even = F.concat(F.lit("A"), i, F.lit(" "), span, F.lit(" tailA "), did)
+    odd = F.concat(
+        F.expr("repeat('p', cast(doc_id % 7 as int))"), span,
+        F.lit(" tailB "), did,
+    )
+    d2 = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, even).otherwise(odd).alias("text"),
+    )
+    res = winnow.exact_substring_removal(d2, "doc_id", "text", fast=False)
+    return res.select("doc_id", "text_clean", "n_removed")
+
+
+def _oracle_substring_removal() -> str:
+    from data_quality_assessment_spark.operators.winnow import (
+        DEFAULT_K, DEFAULT_W,
+    )
+
+    k, w = DEFAULT_K, DEFAULT_W
+    run_min = 30 - k + 1  # default min_len = 30
+    h = _SQL_H64.format(x=f"substr(txt, gs.p, {k})")
+    return f"""
+WITH base AS (
+  SELECT doc_id, doc_id // 2 AS i FROM documents WHERE doc_id < 120
+),
+docs AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0
+      THEN 'A' || i::VARCHAR || ' '
+           || repeat('shared segment ' || i::VARCHAR || ' ', 3)
+           || ' tailA ' || doc_id::VARCHAR
+      ELSE repeat('p', (doc_id % 7)::INT)
+           || repeat('shared segment ' || i::VARCHAR || ' ', 3)
+           || ' tailB ' || doc_id::VARCHAR
+    END AS txt
+  FROM base
+),
+g AS (
+  SELECT doc_id, gs.p, {h} AS h
+  FROM docs, unnest(generate_series(1, length(txt) - {k - 1})) AS gs(p)
+),
+mw AS (
+  SELECT doc_id, p, h,
+    min(h) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin,
+    count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM g
+),
+f AS (SELECT DISTINCT doc_id, wmin AS fp FROM mw WHERE p <= ng - {w - 1}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+hits AS (
+  SELECT DISTINCT pr.id_a, pr.id_b, gb.p
+  FROM pairs pr
+  JOIN g gb ON gb.doc_id = pr.id_b
+  JOIN (SELECT DISTINCT doc_id, h FROM g) ga
+    ON ga.doc_id = pr.id_a AND ga.h = gb.h
+),
+isl AS (
+  SELECT id_a, id_b, p,
+    p - row_number() OVER (PARTITION BY id_a, id_b ORDER BY p) AS grp
+  FROM hits
+),
+runs AS (
+  SELECT id_b, min(p) AS p0, max(p) AS p1
+  FROM isl GROUP BY id_a, id_b, grp
+  HAVING count(*) >= {run_min}
+),
+cov AS (
+  SELECT DISTINCT id_b, cs.pos
+  FROM runs, unnest(generate_series(p0, p1 + {k - 1})) AS cs(pos)
+),
+chars AS (
+  SELECT d.doc_id, cs.pos, substr(d.txt, cs.pos, 1) AS c
+  FROM docs d, unnest(generate_series(1, length(d.txt))) AS cs(pos)
+),
+cleaned AS (
+  SELECT ch.doc_id,
+    string_agg(CASE WHEN cv.pos IS NULL THEN ch.c ELSE '' END, ''
+               ORDER BY ch.pos) AS text_clean,
+    sum(CASE WHEN cv.pos IS NULL THEN 0 ELSE 1 END) AS n_removed
+  FROM chars ch
+  LEFT JOIN cov cv ON cv.id_b = ch.doc_id AND cv.pos = ch.pos
+  GROUP BY ch.doc_id
+)
+SELECT d.doc_id, coalesce(cl.text_clean, d.txt) AS text_clean,
+  coalesce(cl.n_removed, 0)::INT AS n_removed
+FROM docs d LEFT JOIN cleaned cl USING (doc_id)
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return dedup.with_simhash(d, "doc_id", "text", fast=False)
@@ -2411,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "near_dup_clusters": q_near_dup_clusters,
         "winnow_pairs": q_winnow_pairs,
+        "substring_removal": q_substring_removal,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2467,6 +2576,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": _oracle_minhash_candidates(),
         "near_dup_clusters": _oracle_near_dup_clusters(),
         "winnow_pairs": _oracle_winnow_pairs(),
+        "substring_removal": _oracle_substring_removal(),
         "simhash": _oracle_simhash(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "doc_fingerprint": _oracle_fingerprint(),

@@ -85,6 +85,101 @@ def winnow_fingerprints(
     )
 
 
+def exact_substring_removal(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = DEFAULT_K, w: int = DEFAULT_W, min_len: int = 30,
+    *, fast: bool = True,
+) -> DataFrame:
+    """Exact-substring REMOVAL (the Lee et al. 2021 'Deduplicating
+    Training Data' step that fingerprinting enables): for every
+    candidate pair from :func:`winnow_pairs`, excise from the LOWER-
+    priority document (larger id) every span of >= ``min_len`` chars
+    that appears verbatim in its higher-priority partner, keeping the
+    canonical copy intact. Returns ``df``'s columns plus ``text_clean``
+    (the excised text; unchanged docs pass through) and ``n_removed``
+    (chars removed).
+
+    Semantics (mirrored exactly by the DuckDB oracle):
+      * a position p in doc b is MATCHED against partner a when b's
+        char k-gram hash at p occurs anywhere in a's k-gram multiset
+        (content match, not positional — phase shifts don't matter);
+      * a maximal run of >= min_len - k + 1 consecutive matched
+        positions [p0, p1] covers chars [p0, p1 + k - 1];
+      * covered chars are unioned over ALL higher-priority partners
+        (computed per pair — runs never bridge two partners) and
+        removed. Partners contribute their ORIGINAL grams even if they
+        are themselves cleaned against someone above them (single-pass
+        determinism; no iterative fixpoint).
+
+    Scale shape: pair candidates are bounded by the winnowing
+    fingerprint buckets (never all-pairs); gram arrays are computed
+    once in codegen and shipped only for candidate pairs (~8 bytes per
+    char per paired doc — the price of span-exact removal); the
+    excision kernel is one ``applyInPandas`` over ``id_b`` groups
+    doing integer array ops. Guarantee: a shared span of length
+    >= max(min_len, w + k - 1) is always excised.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pairs = winnow_pairs(df, id_col, text_col, k, w, fast=fast)
+    grams = df.select(
+        F.col(id_col), _gram_hashes(F.col(text_col), k, fast).alias("_g")
+    )
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"))
+    btext = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("_btext")
+    )
+    j = pairs.join(ga, "id_a").join(gb, "id_b").join(btext, "id_b")
+
+    run_min = min_len - k + 1
+
+    def _clean(pdf: pd.DataFrame) -> pd.DataFrame:
+        text = pdf["_btext"].iloc[0] or ""
+        gb0 = pdf["_gb"].iloc[0]
+        gb_arr = np.asarray(
+            [] if gb0 is None else gb0, dtype=np.int64
+        )
+        covered = np.zeros(len(text), dtype=bool)
+        for ga_list in pdf["_ga"]:
+            ga_arr = np.unique(np.asarray(
+                [] if ga_list is None else ga_list, dtype=np.int64
+            ))
+            if ga_arr.size == 0 or gb_arr.size == 0:
+                continue
+            idx = np.searchsorted(ga_arr, gb_arr)
+            safe = np.minimum(idx, ga_arr.size - 1)
+            hit = (ga_arr[safe] == gb_arr).astype(np.int8)
+            edges = np.diff(np.concatenate(([0], hit, [0])))
+            starts = np.where(edges == 1)[0]
+            ends = np.where(edges == -1)[0]
+            for s, e in zip(starts, ends):
+                if e - s >= run_min:
+                    covered[s:e - 1 + k] = True
+        n_rm = int(covered.sum())
+        cleaned = (
+            "".join(np.array(list(text))[~covered]) if n_rm else text
+        )
+        return pd.DataFrame(
+            {"id_b": [pdf["id_b"].iloc[0]], "_cleaned": [cleaned],
+             "_nrm": [n_rm]}
+        )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    res = j.groupBy("id_b").applyInPandas(
+        _clean, schema=f"id_b {id_type}, _cleaned string, _nrm int"
+    )
+    return (
+        df.join(res, df[id_col] == res["id_b"], "left")
+        .withColumn(
+            "text_clean", F.coalesce(F.col("_cleaned"), F.col(text_col))
+        )
+        .withColumn("n_removed", F.coalesce(F.col("_nrm"), F.lit(0)))
+        .drop("id_b", "_cleaned", "_nrm")
+    )
+
+
 def winnow_pairs(
     df: DataFrame, id_col: str, text_col: str,
     k: int = DEFAULT_K, w: int = DEFAULT_W,

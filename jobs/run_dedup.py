@@ -1,0 +1,94 @@
+"""spark-submit entrypoint for corpus-level dedup — the LLM-training-data
+composition the candidate-pair operators feed:
+
+    scan docs → MinHash-LSH near-dup clusters (keep one winner per
+                cluster, drop the rest)
+              → winnowing exact-substring removal over the survivors
+                (excise >= min_len verbatim spans from lower-priority
+                docs — boilerplate/licenses/syndicated paragraphs)
+              → cleaned parquet + one-row metrics
+
+    spark-submit --py-files dq.zip jobs/run_dedup.py \
+        --input  /path/to/documents_parquet \
+        --output /path/to/out_dir \
+        [--id-col doc_id] [--text-col text] [--min-jaccard 0.6] \
+        [--min-len 30] [--checkpoint-dir hdfs://...] [--master ...]
+
+Every stage is candidate-bounded (band/bucket joins — no all-pairs
+path); pass --checkpoint-dir on a real cluster so the connected-
+components loop survives executor loss (reliable checkpoint() instead
+of localCheckpoint).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-jaccard", type=float, default=0.6)
+    p.add_argument("--min-len", type=int, default=30)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from data_quality_assessment_spark.session import get_spark, ship_package
+    from data_quality_assessment_spark.operators.dedup import near_dup_clusters
+    from data_quality_assessment_spark.operators.winnow import (
+        exact_substring_removal,
+    )
+
+    spark = get_spark(app_name="dq-run-dedup", master=args.master)
+    ship_package(spark)
+    t0 = time.time()
+    df = spark.read.parquet(args.input)
+    n_in = df.count()
+
+    clusters = near_dup_clusters(
+        df, args.id_col, args.text_col,
+        min_jaccard=args.min_jaccard, checkpoint_dir=args.checkpoint_dir,
+    )
+    losers = clusters.filter(~F.col("keep")).select(args.id_col)
+    kept = df.join(losers, args.id_col, "left_anti")
+
+    cleaned = exact_substring_removal(
+        kept, args.id_col, args.text_col, min_len=args.min_len
+    )
+    cleaned.write.mode("overwrite").parquet(args.output + "/docs_clean")
+
+    out = spark.read.parquet(args.output + "/docs_clean")
+    n_kept = out.count()
+    span_stats = out.agg(
+        F.sum((F.col("n_removed") > 0).cast("long")).alias("docs_excised"),
+        F.sum("n_removed").alias("chars_removed"),
+    ).collect()[0]
+    dt = time.time() - t0
+    summary = {
+        "n_docs_in": n_in,
+        "n_near_dup_dropped": n_in - n_kept,
+        "n_docs_kept": n_kept,
+        "n_docs_span_excised": int(span_stats.docs_excised or 0),
+        "n_chars_removed": int(span_stats.chars_removed or 0),
+        "wall_sec": round(dt, 2),
+        "output": args.output + "/docs_clean",
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

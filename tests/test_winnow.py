@@ -89,3 +89,70 @@ def test_fast_and_oracle_families_agree_on_pairs(spark):
                                          fast=False).collect()}
     assert (0, 1) in fast and (0, 1) in slow
     assert all(2 not in p for p in fast | slow)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring removal (Lee et al. 2021 step over winnowing pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_substring_removal_phase_shift(spark):
+    """A 60-char span planted at different offsets: canonical (smaller
+    id) copy stays intact, the lower-priority copy loses the span,
+    unrelated docs pass through unchanged."""
+    span = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "alpha start " + span + " ending one"),
+        (2, "bb" + span + " totally different tail"),
+        (3, "unrelated qqq www vvv kkk mmm nnn xxx yyy zzz padding body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in winnow.exact_substring_removal(df, "doc_id", "text").collect()
+    }
+    assert got[1].text_clean == rows[0][1] and got[1].n_removed == 0
+    assert span not in got[2].text_clean
+    assert got[2].n_removed >= len(span)
+    assert got[2].text_clean.startswith("bb")
+    assert got[3].text_clean == rows[2][1] and got[3].n_removed == 0
+
+
+def test_exact_substring_removal_multiple_partners(spark):
+    """A doc sharing DIFFERENT spans with two higher-priority docs
+    loses both (covered positions union across partners)."""
+    s1 = "first shared verbatim segment body one two three four five"
+    s2 = "second shared verbatim chunk alpha beta gamma delta epsilon"
+    rows = [
+        (1, "aaa " + s1 + " zzz"),
+        (2, "bbb " + s2 + " yyy"),
+        (10, "start " + s1 + " middle " + s2 + " end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in winnow.exact_substring_removal(df, "doc_id", "text").collect()
+    }
+    assert got[1].n_removed == 0 and got[2].n_removed == 0
+    assert s1 not in got[10].text_clean and s2 not in got[10].text_clean
+    assert got[10].n_removed >= len(s1) + len(s2)
+    assert "start" in got[10].text_clean and "end" in got[10].text_clean
+
+
+def test_exact_substring_removal_below_threshold_kept(spark):
+    """Shared spans shorter than min_len survive removal (the operator
+    excises only >= min_len runs even when the pair is detected)."""
+    short = "tiny shared bit here!!"  # 22 chars: detected (>=17) but < 30
+    rows = [
+        (1, "one " + short + " tail number one padding padding padding"),
+        (2, "two " + short + " other tail entirely different padding!!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in winnow.exact_substring_removal(
+            df, "doc_id", "text", min_len=30
+        ).collect()
+    }
+    assert got[2].n_removed == 0
+    assert got[2].text_clean == rows[1][1]
