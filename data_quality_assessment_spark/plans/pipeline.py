@@ -242,8 +242,23 @@ def host_cadence(pages: DataFrame) -> DataFrame:
 
     Returns one row per host: n_pages, reg_score, out_score. Hosts whose
     modal IAT is 0 (same-second bursts) are excluded by regularity (no
-    defined relative error) but still scored for outliers.
+    defined relative error) but still scored for outliers; hosts with no
+    scoreable IAT at all (single page) get NULL for both.
+
+    FUSED single-pass plan: the IAT lag window hash-partitions by host
+    once, and every later per-host statistic is a WINDOW aggregate whose
+    partition keys start with host — HashPartitioning(host) satisfies
+    each ClusteredDistribution, so Catalyst inserts only sorts, never a
+    second exchange (the mode count windows on (host, iat), still
+    host-determined). Mode (min(-count, value) — ties -> smallest, Q3),
+    mode-centered MAD, the regularity sums and the outlier count all
+    read the one shuffled dataset; the final groupBy(host) also reuses
+    the partitioning. ONE exchange total, pinned by
+    tests/test_plan_shape.py — vs four shuffles of the same rows when
+    regularity_score / outlier_score each recompute their own mode.
     """
+    from pyspark.sql import Window
+
     from ..functions import textstats as ts
     from ..operators import cadence
 
@@ -251,11 +266,59 @@ def host_cadence(pages: DataFrame) -> DataFrame:
         ts.host_of(F.col("url")).alias("host"), F.col("warc_ts")
     ).filter(F.col("warc_ts").isNotNull())
     iat = cadence.with_iat(d, "host", "warc_ts")
-    n = d.groupBy("host").agg(F.count(F.lit(1)).alias("n_pages"))
-    reg = cadence.regularity_score(iat, "iat", ["host"])
-    out = cadence.outlier_score(iat, "iat", ["host"])
-    return (
-        n.join(reg, "host", "left").join(out, "host", "left")
+
+    w_hi = Window.partitionBy("host", "iat")
+    w_h = Window.partitionBy("host")
+    # per-(host, iat) frequency; a second projection holds the mode pick
+    # (window exprs cannot nest in one select)
+    x = iat.withColumn(
+        "_cnt",
+        F.when(F.col("iat").isNotNull(), F.count(F.lit(1)).over(w_hi)),
+    )
+    x = x.withColumn(
+        "_mode",
+        F.min(
+            F.when(
+                F.col("iat").isNotNull(),
+                F.struct((-F.col("_cnt")).alias("nc"), F.col("iat").alias("v")),
+            )
+        ).over(w_h)["v"],
+    )
+    x = x.withColumn(
+        "_mad",
+        F.percentile(F.abs(F.col("iat") - F.col("_mode")), F.lit(0.5)).over(w_h),
+    )
+    rae = F.abs(F.col("iat") - F.col("_mode")) / F.col("_mode")
+    clean = F.col("iat").isNotNull()
+    modz = F.try_divide(
+        0.6745 * (F.col("iat") - F.col("_mode")), F.col("_mad")
+    )
+    is_out = F.when(
+        clean & (F.col("_mad") > 0) & (modz > 3.5), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    agg = x.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.first("_mode").alias("_m"),
+        F.sum(F.when(clean & (F.col("_mode") != 0) & (rae <= 0.5),
+                     1 - 2 * rae).otherwise(F.lit(0.0))).alias("_good"),
+        F.sum(F.when(clean & (F.col("_mode") != 0) & (rae <= 0.5),
+                     F.lit(1.0)).otherwise(F.lit(0.0))).alias("_cntr"),
+        F.sum(F.when(clean & (F.col("_mode") != 0) & (rae > 0.5),
+                     2 * rae).otherwise(F.lit(0.0))).alias("_bad"),
+        F.sum(is_out).alias("_nout"),
+        F.sum(clean.cast("long")).alias("_nclean"),
+    )
+    return agg.select(
+        "host",
+        "n_pages",
+        F.when(
+            F.col("_m").isNotNull() & (F.col("_m") != 0),
+            F.round(F.col("_good") / (F.col("_cntr") + F.col("_bad")), 6),
+        ).alias("reg_score"),
+        F.when(
+            F.col("_nclean") > 0,
+            F.round(1 - F.col("_nout") / F.col("_nclean"), 6),
+        ).alias("out_score"),
     )
 
 

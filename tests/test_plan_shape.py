@@ -188,3 +188,13 @@ def test_sort_output_flags_drop_global_sort(spark):
     )
     assert "rangepartitioning" in sorted_plan, sorted_plan
     assert "rangepartitioning" not in unsorted_plan, unsorted_plan
+
+
+def test_host_cadence_single_exchange(spark, pages_path):
+    """host_cadence is FUSED: the IAT lag window's hash-partition on
+    host is reused by every later window/groupBy (mode, MAD, score
+    aggregations) — exactly ONE Exchange in the executed plan (was ~4
+    shuffles of the same rows when each score recomputed its own mode)."""
+    df = spark.read.parquet(pages_path)
+    plan = _plan(P.host_cadence(df))
+    assert plan.count("Exchange") == 1, plan
