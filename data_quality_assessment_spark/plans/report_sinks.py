@@ -184,6 +184,203 @@ def render_entity_bars(pairs, width: int = 640, truncate: int = 4,
 
 
 # ---------------------------------------------------------------------------
+# the reference's remaining plot geometries: radar / donut / gauge / box /
+# scatter (``/root/reference/scripts/PreProcessing.py:169-417``, rendered
+# there with matplotlib+pygal; here: numpy rasters over the same PNG sink)
+# ---------------------------------------------------------------------------
+
+_BLUE = (70, 130, 180)
+_PALETTE = [
+    (70, 130, 180), (205, 92, 92), (60, 160, 90), (218, 165, 32),
+    (123, 104, 238), (95, 158, 160), (188, 120, 60), (120, 120, 120),
+]
+
+
+def _fill_polygon(img: np.ndarray, pts: list[tuple[float, float]],
+                  color) -> None:
+    """Scanline even-odd polygon fill (the classic algorithm — no
+    drawing library in this container)."""
+    h, w = img.shape[:2]
+    ys = [p[1] for p in pts]
+    y0, y1 = max(0, int(min(ys))), min(h - 1, int(max(ys)) + 1)
+    n = len(pts)
+    for y in range(y0, y1 + 1):
+        xs = []
+        for i in range(n):
+            (xa, ya), (xb, yb) = pts[i], pts[(i + 1) % n]
+            if (ya <= y < yb) or (yb <= y < ya):
+                xs.append(xa + (y - ya) * (xb - xa) / (yb - ya))
+        xs.sort()
+        for j in range(0, len(xs) - 1, 2):
+            a, b = int(max(0, xs[j])), int(min(w - 1, xs[j + 1]))
+            if b >= a:
+                img[y, a:b + 1] = color
+
+
+def _draw_line(img: np.ndarray, x0: float, y0: float, x1: float, y1: float,
+               color, thick: int = 1) -> None:
+    n = int(max(abs(x1 - x0), abs(y1 - y0))) + 1
+    xs = np.linspace(x0, x1, n).astype(int)
+    ys = np.linspace(y0, y1, n).astype(int)
+    h, w = img.shape[:2]
+    t = thick // 2
+    for x, y in zip(xs, ys):
+        img[max(0, y - t):min(h, y + t + 1),
+            max(0, x - t):min(w, x + t + 1)] = color
+
+
+def render_radar(scores: dict[str, float], size: int = 420) -> np.ndarray:
+    """Spider/radar chart of [0,1] scores — the reference's six-metric
+    radar (``PreProcessing.py`` radar path): one axis per metric,
+    filled value polygon, 25/50/75/100% reference rings."""
+    img = np.full((size, size, 3), 255, np.uint8)
+    cx = cy = size // 2
+    rad = size // 2 - 60
+    names = list(scores)
+    n = max(len(names), 1)
+    ang = [(-np.pi / 2 + 2 * np.pi * i / n) for i in range(n)]
+    # reference rings + axes
+    for frac in (0.25, 0.5, 0.75, 1.0):
+        ring = [(cx + frac * rad * np.cos(a), cy + frac * rad * np.sin(a))
+                for a in ang]
+        for i in range(n):
+            x0, y0 = ring[i]
+            x1, y1 = ring[(i + 1) % n]
+            _draw_line(img, x0, y0, x1, y1, (210, 210, 210))
+    for a in ang:
+        _draw_line(img, cx, cy, cx + rad * np.cos(a), cy + rad * np.sin(a),
+                   (180, 180, 180))
+    # value polygon (semi-"transparent" fill: lighten, then outline)
+    pts = []
+    for a, name in zip(ang, names):
+        v = max(0.0, min(1.0, float(scores[name])))
+        pts.append((cx + v * rad * np.cos(a), cy + v * rad * np.sin(a)))
+    if len(pts) >= 3:
+        overlay = img.copy()
+        _fill_polygon(overlay, pts, (164, 196, 220))
+        img[:] = overlay
+        for i in range(len(pts)):
+            x0, y0 = pts[i]
+            x1, y1 = pts[(i + 1) % len(pts)]
+            _draw_line(img, x0, y0, x1, y1, _BLUE, thick=2)
+    for a, name in zip(ang, names):
+        lx = cx + (rad + 10) * np.cos(a)
+        ly = cy + (rad + 10) * np.sin(a)
+        lab = name[:12]
+        if np.cos(a) < -0.3:
+            lx -= 6 * len(lab)
+        _draw_text(img, int(lx), int(ly) - 3, lab)
+    return img
+
+
+def render_donut(parts: dict[str, float], size: int = 360) -> np.ndarray:
+    """Donut chart of non-negative parts (the reference's pygal donut
+    path): ring segments proportional to each part's share, legend
+    swatches below."""
+    legend_h = 16 * len(parts) + 10
+    img = np.full((size + legend_h, size, 3), 255, np.uint8)
+    cx = cy = size // 2
+    r1 = size // 2 - 12
+    r0 = int(r1 * 0.55)
+    yy, xx = np.mgrid[0:size, 0:size]
+    dx, dy = xx - cx, yy - cy
+    rr = np.hypot(dx, dy)
+    theta = np.mod(np.arctan2(dy, dx) + np.pi / 2, 2 * np.pi)  # 12 o'clock=0
+    total = sum(max(0.0, float(v)) for v in parts.values()) or 1.0
+    a = 0.0
+    for i, (name, v) in enumerate(parts.items()):
+        frac = max(0.0, float(v)) / total
+        b = a + frac * 2 * np.pi
+        mask = (rr >= r0) & (rr <= r1) & (theta >= a) & (theta < b)
+        img[:size][mask] = _PALETTE[i % len(_PALETTE)]
+        a = b
+    for i, (name, v) in enumerate(parts.items()):
+        y = size + 4 + 16 * i
+        img[y:y + 10, 8:18] = _PALETTE[i % len(_PALETTE)]
+        _draw_text(img, 24, y + 1, f"{name[:20]} {float(v):g}"[:30])
+    return img
+
+
+def render_gauge(value: float, title: str = "", size: int = 360) -> np.ndarray:
+    """Semicircular gauge for one [0,1] score (the reference's gauge
+    path): grey track, value arc sweeping left -> right, needle, value
+    text."""
+    h = size // 2 + 60
+    img = np.full((h, size, 3), 255, np.uint8)
+    cx, cy = size // 2, size // 2 + 10
+    r1 = size // 2 - 20
+    r0 = int(r1 * 0.7)
+    v = max(0.0, min(1.0, float(value)))
+    yy, xx = np.mgrid[0:h, 0:size]
+    dx, dy = xx - cx, yy - cy
+    rr = np.hypot(dx, dy)
+    # angle 0 at left horizon, pi at right horizon, upper half only
+    theta = np.mod(np.arctan2(-dy, -dx), 2 * np.pi)
+    upper = (dy <= 0) & (rr >= r0) & (rr <= r1)
+    img[upper & (theta <= np.pi)] = (225, 225, 225)
+    img[upper & (theta <= v * np.pi)] = _BLUE
+    na = v * np.pi
+    _draw_line(img, cx, cy, cx - (r0 - 6) * np.cos(na),
+               cy - (r0 - 6) * np.sin(na), (60, 60, 60), thick=3)
+    if title:
+        _draw_text(img, 10, 8, title[:40])
+    _draw_text(img, cx - 18, cy + 14, f"{v:.3f}")
+    return img
+
+
+def render_box(values, width: int = 240, height: int = 320,
+               title: str = "") -> np.ndarray:
+    """Vertical box-and-whisker of a numeric sequence (the reference's
+    IAT box plot): Q1/median/Q3 box, min/max whiskers."""
+    img = np.full((height, width, 3), 255, np.uint8)
+    vals = np.asarray(list(values), dtype=np.float64)
+    if title:
+        _draw_text(img, 8, 6, title[:30])
+    if len(vals) == 0:
+        return img
+    lo, q1, med, q3, hi = np.percentile(vals, [0, 25, 50, 75, 100])
+    span = (hi - lo) or 1.0
+    top, bot = 30, height - 20
+    def ypix(v: float) -> int:
+        return int(bot - (v - lo) / span * (bot - top))
+    cx = width // 2
+    bw = width // 3
+    _draw_line(img, cx, ypix(lo), cx, ypix(q1), (60, 60, 60))
+    _draw_line(img, cx, ypix(q3), cx, ypix(hi), (60, 60, 60))
+    for v in (lo, hi):
+        _draw_line(img, cx - bw // 2, ypix(v), cx + bw // 2, ypix(v),
+                   (60, 60, 60))
+    y_q1, y_q3 = ypix(q1), ypix(q3)
+    img[min(y_q3, y_q1):max(y_q1, y_q3) + 1, cx - bw:cx + bw] = (164, 196, 220)
+    for v, c in ((q1, (60, 60, 60)), (q3, (60, 60, 60)), (med, (205, 92, 92))):
+        _draw_line(img, cx - bw, ypix(v), cx + bw, ypix(v), c, thick=2)
+    return img
+
+
+def render_scatter(xs, ys, width: int = 420, height: int = 300,
+                   title: str = "") -> np.ndarray:
+    """Scatter plot of paired numeric sequences (the reference's
+    outlier scatter path); 3x3-pixel points, axes at data bounds."""
+    img = np.full((height, width, 3), 255, np.uint8)
+    x = np.asarray(list(xs), dtype=np.float64)
+    y = np.asarray(list(ys), dtype=np.float64)
+    if title:
+        _draw_text(img, 8, 6, title[:40])
+    if len(x) == 0 or len(x) != len(y):
+        return img
+    pad = 20
+    sx = (x - x.min()) / ((x.max() - x.min()) or 1.0)
+    sy = (y - y.min()) / ((y.max() - y.min()) or 1.0)
+    px = (pad + sx * (width - 2 * pad)).astype(int)
+    py = (height - pad - sy * (height - 2 * pad - 14)).astype(int)
+    img[height - pad:height - pad + 1, pad:width - pad] = (180, 180, 180)
+    img[24:height - pad, pad - 1:pad] = (180, 180, 180)
+    for a, b in zip(px, py):
+        img[max(0, b - 1):b + 2, max(0, a - 1):a + 2] = _BLUE
+    return img
+
+
+# ---------------------------------------------------------------------------
 # PDF (S6)
 # ---------------------------------------------------------------------------
 
@@ -287,10 +484,15 @@ def reference_report_artifacts(report_row, out_dir: str,
     chart = render_score_bars(scores)
     paths = {
         "scores_png": os.path.join(out_dir, "scores.png"),
+        "radar_png": os.path.join(out_dir, "radar.png"),
+        "gauge_png": os.path.join(out_dir, "gauge.png"),
         "report_pdf": os.path.join(out_dir, "report.pdf"),
         "report_json": os.path.join(out_dir, "report.json"),
     }
     write_png(paths["scores_png"], chart)
+    write_png(paths["radar_png"], render_radar(scores))
+    write_png(paths["gauge_png"],
+              render_gauge(float(d.get("avg_score", 0.0)), "AVG SCORE"))
     if iat_values is not None:
         paths["iat_png"] = os.path.join(out_dir, "iat_hist.png")
         write_png(paths["iat_png"],

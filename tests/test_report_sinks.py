@@ -105,3 +105,57 @@ def test_entity_bars_v4_truncation(tmp_path):
     nz = per_row[per_row > 0]
     assert nz.max() >= 3.5 * nz.min()  # 120 vs 30 bar lengths
     rs.write_png(str(tmp_path / "e.png"), img)
+
+
+def test_radar_render(tmp_path):
+    """Radar polygon area grows with the scores; six labeled axes."""
+    hi = rs.render_radar({f"M{i}": 0.9 for i in range(6)})
+    lo = rs.render_radar({f"M{i}": 0.2 for i in range(6)})
+    fill = np.array([164, 196, 220], np.uint8)
+    n_hi = (hi == fill).all(axis=2).sum()
+    n_lo = (lo == fill).all(axis=2).sum()
+    assert n_hi > 4 * n_lo > 0
+    rs.write_png(str(tmp_path / "r.png"), hi)
+    assert (rs.read_png(str(tmp_path / "r.png")) == hi).all()
+
+
+def test_donut_render():
+    """Segment pixel shares track the part fractions (3:1 here)."""
+    img = rs.render_donut({"kept": 75.0, "dropped": 25.0})
+    c0 = (img == np.array(rs._PALETTE[0], np.uint8)).all(axis=2).sum()
+    c1 = (img == np.array(rs._PALETTE[1], np.uint8)).all(axis=2).sum()
+    c1 -= 10 * 10  # legend swatch pixels
+    assert c0 > 0 and c1 > 0
+    assert 2.0 < c0 / c1 < 4.0
+
+
+def test_gauge_render():
+    """Value arc sweeps proportionally: 0.75 colors ~3x the arc of
+    0.25; needle and value text present."""
+    q1 = rs.render_gauge(0.25)
+    q3 = rs.render_gauge(0.75)
+    blue = np.array([70, 130, 180], np.uint8)
+    n1 = (q1 == blue).all(axis=2).sum()
+    n3 = (q3 == blue).all(axis=2).sum()
+    assert 2.0 < n3 / n1 < 4.0
+    # full-gauge track exists beyond the value arc
+    grey = (q1 == np.array([225, 225, 225], np.uint8)).all(axis=2).sum()
+    assert grey > n1
+
+
+def test_box_render():
+    """Median line sits between the quartile lines; box between
+    whiskers."""
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]  # skewed: median low
+    img = rs.render_box(vals, title="IAT")
+    red = (img == np.array([205, 92, 92], np.uint8)).all(axis=2)
+    rows = np.where(red.any(axis=1))[0]
+    assert len(rows) > 0
+    # skew pushes the median line into the bottom third of the plot
+    assert rows.mean() > img.shape[0] * 0.6
+
+
+def test_scatter_render():
+    img = rs.render_scatter([0, 1, 2, 3], [0, 1, 4, 9], title="XY")
+    blue = (img == np.array([70, 130, 180], np.uint8)).all(axis=2)
+    assert 4 * 4 <= blue.sum() <= 4 * 16  # four 3x3-ish points
