@@ -1951,6 +1951,66 @@ FROM documents
 """
 
 
+def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG bytes (spec encoder, deterministic doc_id-derived pixel
+    pattern) decoded back through the dependency-free PNG pixel decoder
+    (multimodal.png_pixels) into exact-integer per-channel means; the
+    oracle re-derives the same pixel series with generate_series.
+    Proves the pixel decode is real, not header-only."""
+    from data_quality_assessment_spark.functions import multimodal as mmod
+    from data_quality_assessment_spark.plans.report_sinks import encode_png
+
+    d = _load(spark, sf_dir, "documents")
+
+    import numpy as np
+    import pandas as pd
+
+    def make_blobs(batches):
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                w, h = did % 5 + 4, did % 3 + 3
+                idx = np.arange(w * h, dtype=np.int64)
+                rgb = np.stack(
+                    [((did * 7 + idx * 3 + c * 11) % 256).reshape(h, w)
+                     for c in range(3)],
+                    axis=2,
+                ).astype(np.uint8)
+                rows.append((did, "image", encode_png(rgb), "image/png"))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "blob", "mime"]
+            )
+
+    media = d.select("doc_id").mapInPandas(make_blobs, mmod.MEDIA_SCHEMA)
+    return mmod.image_pixel_stats(media)
+
+
+ORACLE_IMAGE_PIXELS = """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 3 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, g.i AS idx
+  FROM d, unnest(generate_series(0, w * h - 1)) AS g(i)
+),
+s AS (
+  SELECT doc_id, w, h,
+    sum((doc_id * 7 + idx * 3) % 256) AS sr,
+    sum((doc_id * 7 + idx * 3 + 11) % 256) AS sg,
+    sum((doc_id * 7 + idx * 3 + 22) % 256) AS sb,
+    count(*) AS n
+  FROM px GROUP BY doc_id, w, h
+)
+SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+  round(sr::DOUBLE / n, 6) AS mean_r,
+  round(sg::DOUBLE / n, 6) AS mean_g,
+  round(sb::DOUBLE / n, 6) AS mean_b,
+  true AS valid
+FROM s
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV PCM bytes (RIFF fmt+data, int16 samples derived from
     doc_id) built per document, decoded back through the dependency-free
@@ -2555,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata": q_image_metadata,
         "audio_metadata": q_audio_metadata,
         "audio_features": q_audio_features,
+        "image_pixel_stats": q_image_pixel_stats,
         "frame_sample": q_frame_sample,
         "video_metadata": q_video_metadata,
         "warc_roundtrip": q_warc_roundtrip,
@@ -2612,6 +2673,7 @@ def oracle_sql() -> dict[str, str]:
         "image_metadata": ORACLE_IMAGE_META,
         "audio_metadata": ORACLE_AUDIO_META,
         "audio_features": ORACLE_AUDIO_FEATURES,
+        "image_pixel_stats": ORACLE_IMAGE_PIXELS,
         "frame_sample": ORACLE_FRAME_SAMPLE,
         "video_metadata": ORACLE_VIDEO_META,
         "warc_roundtrip": ORACLE_WARC_ROUNDTRIP,

@@ -349,6 +349,166 @@ def run_pipeline_subprocess(
     )
 
 
+# ---------------------------------------------------------------------------
+# executor-PROCESS scaling: a real standalone master on this host with one
+# CPUS-core worker; executors are separate 8-core JVM processes launched by
+# the worker, so "1 executor vs 4 executors" here is a true process-
+# separated N -> 4N step (the spark-submit cluster shape the north rule
+# names), not local-mode thread scaling.
+# ---------------------------------------------------------------------------
+
+STANDALONE_URL = "spark://127.0.0.1:7077"
+_STANDALONE_DIR = "/tmp/spark-standalone"
+
+
+def _port_up(port: int) -> bool:
+    import socket
+
+    s = socket.socket()
+    s.settimeout(1.0)
+    try:
+        s.connect(("127.0.0.1", port))
+        return True
+    except OSError:
+        return False
+    finally:
+        s.close()
+
+
+def _alive_workers() -> int:
+    import json as _json
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(
+            "http://127.0.0.1:8089/json/", timeout=2
+        ) as r:
+            j = _json.load(r)
+        return sum(1 for w in j.get("workers", []) if w.get("state") == "ALIVE")
+    except Exception:  # noqa: BLE001 — master UI unreachable => not ready
+        return 0
+
+
+def ensure_standalone() -> str | None:
+    """Start (or reuse) a single-host standalone master plus one worker
+    offering all cores. Returns the master URL, or None when the
+    daemons cannot come up (the bench leg is then skipped — the JSON
+    line must always print)."""
+    import subprocess
+
+    spark_home = os.path.dirname(
+        os.path.abspath(__import__("pyspark").__file__)
+    )
+    os.makedirs(_STANDALONE_DIR + "/logs", exist_ok=True)
+    env = {**os.environ, "SPARK_HOME": spark_home,
+           "SPARK_LOG_DIR": _STANDALONE_DIR + "/logs",
+           "SPARK_PID_DIR": _STANDALONE_DIR}
+
+    def launch(cls: str, *args: str, log: str) -> None:
+        with open(log, "ab") as f:
+            subprocess.Popen(
+                [os.path.join(spark_home, "bin", "spark-class"), cls, *args],
+                env=env, stdout=f, stderr=subprocess.STDOUT,
+                start_new_session=True,
+            )
+
+    if not _port_up(7077):
+        launch("org.apache.spark.deploy.master.Master",
+               "-h", "127.0.0.1", "-p", "7077", "--webui-port", "8089",
+               log=f"{_STANDALONE_DIR}/master.log")
+        for _ in range(30):
+            if _port_up(7077):
+                break
+            time.sleep(1)
+        else:
+            return None
+    if _alive_workers() == 0:
+        launch("org.apache.spark.deploy.worker.Worker", STANDALONE_URL,
+               "-c", str(CPUS), "-m", "64g", "--webui-port", "8090",
+               log=f"{_STANDALONE_DIR}/worker.log")
+        for _ in range(30):
+            if _alive_workers() > 0:
+                break
+            time.sleep(1)
+        else:
+            return None
+    return STANDALONE_URL
+
+
+def run_pipeline_cluster_once(
+    total_cores: int, corpus: str, out_dir: str
+) -> float:
+    """One spark-submit-shaped run against the standalone master:
+    8-core executor processes, cores.max selecting 1 (8) or 4 (32) of
+    them. Same warm-up protocol as the local legs. Returns wall seconds
+    (executor CPU lives in the worker's process tree, outside this
+    process's accounting — the leg reports wall-based rates only)."""
+    from data_quality_assessment_spark.session import get_spark, ship_package
+    from data_quality_assessment_spark.config import DEFAULT_CONFIG
+    from data_quality_assessment_spark.plans.pipeline import (
+        pages_out,
+        run_pipeline,
+    )
+
+    split = _split_bytes(corpus)
+    spark = get_spark(
+        app_name=f"bench-cluster-{total_cores}",
+        master=STANDALONE_URL,
+        shuffle_partitions=max(64, 2 * total_cores),
+        extra_conf={
+            "spark.executor.cores": "8",
+            "spark.cores.max": str(total_cores),
+            "spark.executor.memory": os.environ.get(
+                "SPARK_GRAFT_EXEC_MEM", "10g"
+            ),
+            # executors must run THIS interpreter, not whatever python3
+            # is on the worker daemon's PATH
+            "spark.pyspark.python": sys.executable,
+            "spark.sql.files.maxPartitionBytes": split,
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": split,
+        },
+    )
+    try:
+        ship_package(spark)
+        df = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+        warm_df = spark.read.parquet(ensure_warm_corpus())
+        pages_out(run_pipeline(warm_df, DEFAULT_CONFIG)).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+        t0 = time.time()
+        pages_out(run_pipeline(df, DEFAULT_CONFIG)).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+        return time.time() - t0
+    finally:
+        spark.stop()
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def run_pipeline_cluster_subprocess(
+    total_cores: int, corpus: str, out_dir: str
+) -> float:
+    """run_pipeline_cluster_once in a fresh interpreter (same JVM-state
+    isolation rationale as run_pipeline_subprocess), with a hard
+    timeout so a wedged cluster can never hang the bench."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one-cluster",
+         str(total_cores), corpus, out_dir],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        env={**os.environ, "SPARK_GRAFT_BENCH_DOCS": str(N_DOCS)},
+    )
+    for ln in proc.stdout.splitlines():
+        if ln.startswith("BENCH_ONE "):
+            return float(ln.split()[1])
+    raise RuntimeError(
+        f"cluster bench failed (rc={proc.returncode}):\n" + proc.stderr[-2000:]
+    )
+
+
 def force(df) -> int:
     """Force full evaluation of every output column (count() alone would
     let Catalyst prune the projections we want to measure)."""
@@ -460,6 +620,57 @@ def main() -> None:
         }
         scaling.update(_kernel_mp_ceiling())
 
+    # --- executor-PROCESS N -> 4N: 1 vs 4 separate 8-core executor JVMs
+    # against a real standalone master (the north rule's cluster shape).
+    # Subject to the same host memory-bandwidth ceiling as the local
+    # 8->32 step — compare against kernel_mp_ceiling_8_to_32.
+    if DO_SCALING and os.environ.get("SPARK_GRAFT_BENCH_CLUSTER", "1") != "0":
+        try:
+            url = ensure_standalone()
+        except Exception as e:  # noqa: BLE001 — leg is optional evidence
+            print(f"standalone startup failed: {e}", file=sys.stderr)
+            url = None
+        if url:
+            t1x = t4x = float("inf")
+            cl_pair_effs: list[float] = []
+            leg_t0 = time.time()
+            try:
+                for i in range(2):
+                    if i > 0 and time.time() - leg_t0 > 300:
+                        print("cluster leg budget: stopping after 1 pair",
+                              file=sys.stderr)
+                        break
+                    t4 = run_pipeline_cluster_subprocess(32, corpus, tmp_out)
+                    print(f"cluster {i} 4x8-core executors: {t4:.2f}s",
+                          file=sys.stderr)
+                    t4x = min(t4x, t4)
+                    t1 = run_pipeline_cluster_subprocess(8, corpus, tmp_out)
+                    print(f"cluster {i} 1x8-core executor: {t1:.2f}s",
+                          file=sys.stderr)
+                    t1x = min(t1x, t1)
+                    # back-to-back pair: same host-contention window
+                    cl_pair_effs.append(round((t1 / t4) / 4, 3))
+                scaling["executor_processes"] = {
+                    "docs": N_DOCS,
+                    "master": "standalone (single host)",
+                    "executors_small": 1,
+                    "executors_large": 4,
+                    "executor_cores": 8,
+                    "docs_per_sec_1x8": round(N_DOCS / t1x, 1),
+                    "docs_per_sec_4x8": round(N_DOCS / t4x, 1),
+                    "scaling_efficiency_1_to_4_executors": round(
+                        (t1x / t4x) / 4, 3
+                    ),
+                    "pairwise_efficiency": cl_pair_effs,
+                    "scaling_efficiency_best_pair": max(cl_pair_effs)
+                    if cl_pair_effs else None,
+                }
+            except Exception as e:  # noqa: BLE001 — never lose the JSON line
+                print(f"executor-process leg failed: {e}", file=sys.stderr)
+        else:
+            print("standalone master unavailable; executor-process leg "
+                  "skipped", file=sys.stderr)
+
     if DO_SCALING and "kernel_mp_ceiling_8_to_32" not in scaling:
         # the ceiling must be in EVERY scaling-bearing JSON, smallstep or
         # not — it is the same-run denominator for eff_vs_kernel_ceiling
@@ -472,6 +683,11 @@ def main() -> None:
         scaling["eff_vs_kernel_ceiling"] = round(
             scaling["scaling_efficiency"]
             / scaling["kernel_mp_ceiling_8_to_32"], 3)
+        if "executor_processes" in scaling:
+            ep = scaling["executor_processes"]
+            ep["eff_vs_kernel_ceiling"] = round(
+                ep["scaling_efficiency_1_to_4_executors"]
+                / scaling["kernel_mp_ceiling_8_to_32"], 3)
 
     # --- operator queries at SF_DIR: TWO passes, min per query. The
     # first execution of each shape in a fresh session pays JIT/codegen
@@ -515,5 +731,8 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--one":
         t, c = run_pipeline_once(int(sys.argv[2]), sys.argv[3], sys.argv[4])
         print(f"BENCH_ONE {t:.4f} {c:.2f}", flush=True)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--one-cluster":
+        t = run_pipeline_cluster_once(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        print(f"BENCH_ONE {t:.4f} 0.0", flush=True)
     else:
         main()

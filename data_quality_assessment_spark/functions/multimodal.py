@@ -24,6 +24,7 @@ away — the shuffle after this stage moves features, not media).
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -154,6 +155,136 @@ def _decode_image(blob: bytes) -> tuple[int, int]:
         "unrecognized image format and no PIL in this container; "
         "FAKEIMG1, JPEG, PNG and GIF headers decode natively"
     )
+
+
+def png_pixels(blob: bytes):
+    """REAL PNG pixel decode, dependency-free (PNG spec: zlib-inflated
+    IDAT scanlines, per-line filter byte, filters 0-4 None/Sub/Up/
+    Average/Paeth): returns an HxWx3 uint8 RGB array. Supports 8-bit
+    gray / RGB / palette / RGBA (alpha dropped), non-interlaced — the
+    shapes crawl thumbnails actually take. Returns None when the blob
+    is not a PNG; raises on unsupported depth/interlace so callers'
+    valid=false paths engage."""
+    if len(blob) < 24 or blob[:8] != _PNG_SIG:
+        return None
+    pos = 8
+    w = h = depth = ctype = interlace = None
+    idat = b""
+    plte = None
+    n = len(blob)
+    while pos + 8 <= n:
+        (ln,) = struct.unpack(">I", blob[pos:pos + 4])
+        tag = blob[pos + 4:pos + 8]
+        body = blob[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or depth != 8 or interlace != 0 or ctype not in (0, 2, 3, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} ctype={ctype} interlace={interlace} "
+            "unsupported (8-bit gray/RGB/palette/RGBA, no interlace)"
+        )
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+    stride = w * ch
+    raw = memoryview(zlib.decompress(idat))
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        cur = np.frombuffer(raw[p + 1:p + 1 + stride], np.uint8).astype(
+            np.int32
+        )
+        p += 1 + stride
+        if f == 1:  # Sub: sequential left-dependency
+            for i in range(ch, stride):
+                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+        elif f == 2:  # Up: vectorized
+            cur = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth predictor
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    if ctype == 2:
+        return out.reshape(h, w, 3)
+    if ctype == 6:
+        return out.reshape(h, w, 4)[:, :, :3].copy()
+    if ctype == 0:
+        return np.repeat(out.reshape(h, w, 1), 3, axis=2)
+    if plte is None:
+        raise ValueError("palette PNG without PLTE")
+    return plte[out.reshape(h, w)]
+
+
+IMAGE_PIXEL_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+    T.StructField("valid", T.BooleanType()),
+])
+
+
+def image_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL per-channel pixel statistics from the dependency-free PNG
+    decode (falls back to PIL for other formats when installed):
+    per-channel means computed as exact integer sums with one final
+    division — bit-stable across engines, the property the DuckDB
+    oracle checks. Undecodable blobs yield valid=false rows."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "width", "height", "mean_r", "mean_g",
+                "mean_b", "valid"]
+        for b in batches:
+            rows = []
+            for mid, blob in zip(b["media_id"], b["blob"]):
+                try:
+                    rgb = png_pixels(bytes(blob)) if blob is not None else None
+                    if rgb is None and _PILImage is not None:
+                        import io
+
+                        with _PILImage.open(io.BytesIO(bytes(blob))) as im:
+                            rgb = np.asarray(im.convert("RGB"))
+                    if rgb is None:
+                        raise ValueError("undecodable")
+                    h, w = rgb.shape[:2]
+                    npx = h * w
+                    sums = rgb.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                    rows.append((
+                        mid, w, h,
+                        round(int(sums[0]) / npx, 6),
+                        round(int(sums[1]) / npx, 6),
+                        round(int(sums[2]) / npx, 6),
+                        True,
+                    ))
+                except Exception:  # noqa: BLE001 — invalid blob => row, not task failure
+                    rows.append((mid, None, None, None, None, None, False))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "blob").mapInPandas(fn, IMAGE_PIXEL_SCHEMA)
 
 
 def _decode_audio(blob: bytes) -> tuple[int, int]:

@@ -31,8 +31,8 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
-def write_png(path: str, rgb: np.ndarray) -> None:
-    """Write an HxWx3 uint8 array as a truecolor PNG."""
+def encode_png(rgb: np.ndarray) -> bytes:
+    """HxWx3 uint8 array -> truecolor PNG bytes (filter 0 scanlines)."""
     if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("expected HxWx3 uint8")
     h, w = rgb.shape[:2]
@@ -45,14 +45,18 @@ def write_png(path: str, rgb: np.ndarray) -> None:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 9))
         + chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str, rgb: np.ndarray) -> None:
+    """Write an HxWx3 uint8 array as a truecolor PNG."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(rgb))
 
 
 def read_png(path: str) -> np.ndarray:

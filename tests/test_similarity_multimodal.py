@@ -454,3 +454,128 @@ def test_audio_features_values(spark):
     assert r1.zcr == 1.0                        # every step crosses
     assert r1.valid
     assert got[2].valid is False
+
+
+# ---------------------------------------------------------------------------
+# real PNG pixel decode
+# ---------------------------------------------------------------------------
+
+
+def _png_from_filtered(w, h, ch, ctype, scanlines, plte=None):
+    """Hand-build a PNG whose IDAT carries the GIVEN per-line filter
+    bytes + filtered data — exercises each unfilter path directly."""
+    import struct as st
+    import zlib
+
+    def chunk(tag, data):
+        return (st.pack(">I", len(data)) + tag + data
+                + st.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = st.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(
+        bytes([f]) + bytes(bytearray(int(v) & 0xFF for v in line))
+        for f, line in scanlines
+    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(plte))
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_pixels_roundtrip_truecolor():
+    """encode_png (filter 0) -> png_pixels is the identity."""
+    import numpy as np
+
+    from data_quality_assessment_spark.plans import report_sinks as rs
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+    got = mm.png_pixels(rs.encode_png(rgb))
+    assert (got == rgb).all()
+
+
+def test_png_pixels_all_filters():
+    """Sub/Up/Average/Paeth unfiltering pinned against a hand-filtered
+    stream (2x3 RGB; expected pixels derived independently)."""
+    import numpy as np
+
+    # target image rows (RGB, stride 9)
+    row0 = np.array([10, 20, 30, 13, 24, 35, 16, 28, 40], np.int32)
+    row1 = np.array([12, 22, 32, 15, 26, 37, 18, 30, 42], np.int32)
+
+    def sub_filter(row):
+        out = row.copy()
+        out[3:] = (row[3:] - row[:-3]) % 256
+        return out
+
+    def up_filter(row, prev):
+        return (row - prev) % 256
+
+    def avg_filter(row, prev):
+        out = row.copy()
+        for i in range(len(row)):
+            left = row[i - 3] if i >= 3 else 0
+            out[i] = (row[i] - ((left + prev[i]) >> 1)) % 256
+        return out
+
+    def paeth_filter(row, prev):
+        out = row.copy()
+        for i in range(len(row)):
+            a = row[i - 3] if i >= 3 else 0
+            b, c = prev[i], (prev[i - 3] if i >= 3 else 0)
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (row[i] - pr) % 256
+        return out
+
+    for f1, enc in [(1, lambda: sub_filter(row1)),
+                    (2, lambda: up_filter(row1, row0)),
+                    (3, lambda: avg_filter(row1, row0)),
+                    (4, lambda: paeth_filter(row1, row0))]:
+        blob = _png_from_filtered(
+            3, 2, 3, 2,
+            [(1, sub_filter(row0)), (f1, enc())],
+        )
+        got = mm.png_pixels(blob)
+        expect = np.stack([row0.reshape(3, 3), row1.reshape(3, 3)])
+        assert (got == expect.astype(np.uint8)).all(), f"filter {f1}"
+
+
+def test_png_pixels_gray_palette_rgba():
+    import numpy as np
+
+    # grayscale: value replicated to RGB
+    blob = _png_from_filtered(2, 1, 1, 0, [(0, [7, 250])])
+    assert (mm.png_pixels(blob) == [[[7, 7, 7], [250, 250, 250]]]).all()
+    # palette
+    blob = _png_from_filtered(
+        2, 1, 1, 3, [(0, [1, 0])], plte=[10, 20, 30, 200, 100, 50]
+    )
+    assert (mm.png_pixels(blob) == [[[200, 100, 50], [10, 20, 30]]]).all()
+    # RGBA: alpha dropped
+    blob = _png_from_filtered(1, 1, 4, 6, [(0, [1, 2, 3, 128])])
+    assert (mm.png_pixels(blob) == [[[1, 2, 3]]]).all()
+    # non-PNG
+    assert mm.png_pixels(b"nope") is None
+
+
+def test_image_pixel_stats(spark):
+    import numpy as np
+
+    from data_quality_assessment_spark.plans import report_sinks as rs
+
+    rgb = np.zeros((4, 4, 3), np.uint8)
+    rgb[:, :, 0] = 100
+    rgb[:, :, 1] = 50
+    rgb[:2, :, 2] = 255  # mean_b = 127.5
+    rows = [
+        (1, "image", rs.encode_png(rgb), "image/png"),
+        (2, "image", b"garbage", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in mm.image_pixel_stats(df).collect()}
+    r1 = got[1]
+    assert (r1.width, r1.height) == (4, 4)
+    assert (r1.mean_r, r1.mean_g, r1.mean_b) == (100.0, 50.0, 127.5)
+    assert r1.valid and not got[2].valid
