@@ -288,7 +288,11 @@ def host_cadence(pages: DataFrame) -> DataFrame:
         "_mad",
         F.percentile(F.abs(F.col("iat") - F.col("_mode")), F.lit(0.5)).over(w_h),
     )
-    rae = F.abs(F.col("iat") - F.col("_mode")) / F.col("_mode")
+    # try_divide: SQL AND does not short-circuit, so the mode != 0 guard
+    # in the aggregation conditions cannot protect a plain division —
+    # hosts whose modal IAT is 0 (same-second bursts) must yield NULL
+    # rae (NULL <= 0.5 is false), not an ANSI DIVIDE_BY_ZERO
+    rae = F.try_divide(F.abs(F.col("iat") - F.col("_mode")), F.col("_mode"))
     clean = F.col("iat").isNotNull()
     modz = F.try_divide(
         0.6745 * (F.col("iat") - F.col("_mode")), F.col("_mad")
