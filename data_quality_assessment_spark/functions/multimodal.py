@@ -288,18 +288,23 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
 
 
 def _decode_audio(blob: bytes) -> tuple[int, int]:
-    """(sample_rate, n_samples). FAKEAUD and real RIFF/WAV decode
-    dependency-free (``wav_metadata`` below); MP3 exposes rate/bitrate
-    via ``mp3_frame_header`` but not an exact sample count without a
-    full frame walk, so compressed formats still raise here."""
+    """(sample_rate, n_samples). FAKEAUD, real RIFF/WAV and MP3 all
+    decode dependency-free: WAV via the chunk walk (``wav_metadata``),
+    MP3 via the full frame walk (``mp3_frame_walk`` — exact VBR-safe
+    sample count, 1152 samples per MPEG-1 Layer III frame). Compressed
+    PCM *sample* decode (the MP3 synthesis filterbank) stays out of
+    scope; metadata/duration is what the quality pipeline consumes."""
     if blob[:8] == AUD_MAGIC:
         return struct.unpack(">II", blob[8:16])
     wav = wav_metadata(blob)
     if wav is not None:
         return wav
+    mp3 = mp3_frame_walk(blob)
+    if mp3 is not None:
+        return mp3
     raise NotImplementedError(
         "compressed audio decode unavailable in this container "
-        "(soundfile); FAKEAUD1 and WAV headers decode natively"
+        "(soundfile); FAKEAUD1, WAV and MP3 frames decode natively"
     )
 
 
@@ -711,16 +716,20 @@ _MP3_BITRATES = (  # kbps, MPEG-1 Layer III
 _MP3_RATES = (44100, 48000, 32000, 0)  # MPEG-1
 
 
+def _skip_id3(blob: bytes) -> int:
+    if blob[:3] == b"ID3" and len(blob) >= 10:
+        ss = blob[6:10]
+        return 10 + ((ss[0] & 0x7F) << 21 | (ss[1] & 0x7F) << 14
+                     | (ss[2] & 0x7F) << 7 | (ss[3] & 0x7F))
+    return 0
+
+
 def mp3_frame_header(blob: bytes) -> tuple[int, int] | None:
     """(sample_rate, bitrate_kbps) from the first MPEG-1 Layer III
     frame sync (11 set bits; version/layer/bitrate/rate fields per the
     MPEG audio frame header layout). ID3v2 tags are skipped via their
     syncsafe length. None when no valid frame is found."""
-    i = 0
-    if blob[:3] == b"ID3" and len(blob) >= 10:
-        ss = blob[6:10]
-        i = 10 + ((ss[0] & 0x7F) << 21 | (ss[1] & 0x7F) << 14
-                  | (ss[2] & 0x7F) << 7 | (ss[3] & 0x7F))
+    i = _skip_id3(blob)
     n = len(blob)
     while i + 4 <= n:
         if blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0:
@@ -733,3 +742,38 @@ def mp3_frame_header(blob: bytes) -> tuple[int, int] | None:
                     return (sr, br)
         i += 1
     return None
+
+
+MP3_SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III
+
+
+def mp3_frame_walk(blob: bytes) -> tuple[int, int] | None:
+    """(sample_rate, n_samples) by WALKING every MPEG-1 Layer III frame
+    (frame length = 144 * bitrate / sample_rate + padding, per the MPEG
+    audio spec; each frame decodes to 1152 PCM samples per channel).
+    This is the exact per-file sample count VBR files need — the single
+    first-frame header can't give it. Walk stops at the first byte
+    that is not a valid frame sync (truncated tail tolerated, trailing
+    ID3v1 'TAG' block skipped). None when no frame parses."""
+    i = _skip_id3(blob)
+    n = len(blob)
+    frames = 0
+    rate = None
+    while i + 4 <= n:
+        if not (blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0):
+            break
+        version = (blob[i + 1] >> 3) & 0x3
+        layer = (blob[i + 1] >> 1) & 0x3
+        if version != 3 or layer != 1:
+            break
+        br = _MP3_BITRATES[(blob[i + 2] >> 4) & 0xF]
+        sr = _MP3_RATES[(blob[i + 2] >> 2) & 0x3]
+        pad = (blob[i + 2] >> 1) & 0x1
+        if not br or not sr or (rate is not None and sr != rate):
+            break
+        rate = sr
+        frames += 1
+        i += (144 * br * 1000) // sr + pad
+    if frames == 0 or rate is None:
+        return None
+    return (rate, frames * MP3_SAMPLES_PER_FRAME)

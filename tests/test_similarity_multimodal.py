@@ -363,7 +363,9 @@ def test_audio_metadata_wav(spark):
         16000, 32000, 2.0)
     assert (got[2].sample_rate, got[2].n_samples, got[2].duration_sec) == (
         8000, 12000, 1.5)
-    assert got[3].valid is False  # mp3: no exact sample count -> seam
+    # mp3: frame walk gives the exact count (1 frame = 1152 samples)
+    assert (got[3].sample_rate, got[3].n_samples) == (44100, 1152)
+    assert got[3].valid
 
 
 # ---------------------------------------------------------------------------
@@ -579,3 +581,23 @@ def test_image_pixel_stats(spark):
     assert (r1.width, r1.height) == (4, 4)
     assert (r1.mean_r, r1.mean_g, r1.mean_b) == (100.0, 50.0, 127.5)
     assert r1.valid and not got[2].valid
+
+
+def test_mp3_frame_walk():
+    """Exact sample count from walking real frame lengths (144*br/sr +
+    padding), with a VBR bitrate change mid-stream and an ID3v2 tag."""
+    def frame(br_idx, pad=0, sr_idx=0):
+        hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+                     0x00])
+        br = mm._MP3_BITRATES[br_idx] * 1000
+        sr = mm._MP3_RATES[sr_idx]
+        ln = (144 * br) // sr + pad
+        return hdr + b"\x00" * (ln - 4)
+
+    blob = frame(9) + frame(11, pad=1) + frame(9)  # 128k, 192k+pad, 128k
+    assert mm.mp3_frame_walk(blob) == (44100, 3 * 1152)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + blob
+    assert mm.mp3_frame_walk(id3) == (44100, 3 * 1152)
+    # trailing junk stops the walk, prefix frames still counted
+    assert mm.mp3_frame_walk(blob + b"junkjunk") == (44100, 3 * 1152)
+    assert mm.mp3_frame_walk(b"\x00" * 64) is None
