@@ -237,6 +237,114 @@ def png_pixels(blob: bytes):
     return plte[out.reshape(h, w)]
 
 
+def _lzw_decode(data: bytes, min_code_size: int, max_px: int) -> list[int]:
+    """GIF-variant LZW (LSB-first packed codes, growing width, clear /
+    end codes — GIF89a spec appendix F)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    next_code = end + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while bitpos + code_size <= nbits and len(out) < max_px:
+        c = 0
+        byte_i, bit_i = divmod(bitpos, 8)
+        # codes are <=12 bits: read up to 3 bytes little-endian
+        chunk = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        c = (chunk >> bit_i) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if c == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            next_code = end + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if c == end:
+            break
+        if prev is None:
+            entry = table[c]
+        elif c < len(table) and c != next_code:
+            entry = table[c]
+        elif c == next_code:
+            entry = prev + (prev[0],)
+        else:
+            break  # corrupt stream: stop with the prefix decoded
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_pixels(blob: bytes):
+    """REAL GIF pixel decode, dependency-free (GIF87a/89a: logical
+    screen + color tables + LZW-compressed image data, interlace
+    de-pass): RGB array of the FIRST image frame. None when the blob
+    is not a GIF; raises on structurally broken files."""
+    if len(blob) < 13 or blob[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = blob[10]
+    i = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 ** ((flags & 7) + 1)
+        gct = np.frombuffer(blob[i:i + 3 * size], np.uint8).reshape(-1, 3)
+        i += 3 * size
+    n = len(blob)
+    while i < n:
+        b0 = blob[i]
+        if b0 == 0x21:  # extension block: label + sub-blocks
+            i += 2
+            while i < n and blob[i] != 0:
+                i += 1 + blob[i]
+            i += 1
+        elif b0 == 0x2C:  # image descriptor
+            _ix, _iy, iw, ih = struct.unpack("<4H", blob[i + 1:i + 9])
+            lflags = blob[i + 9]
+            i += 10
+            table = gct
+            if lflags & 0x80:
+                size = 2 ** ((lflags & 7) + 1)
+                table = np.frombuffer(
+                    blob[i:i + 3 * size], np.uint8
+                ).reshape(-1, 3)
+                i += 3 * size
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            min_code = blob[i]
+            i += 1
+            data = bytearray()
+            while i < n and blob[i] != 0:
+                ln = blob[i]
+                data += blob[i + 1:i + 1 + ln]
+                i += 1 + ln
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("GIF pixel data truncated")
+            grid = np.asarray(idx[:iw * ih], np.int64).reshape(ih, iw)
+            if lflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = [
+                    r for start, step in _GIF_INTERLACE_PASSES
+                    for r in range(start, ih, step)
+                ]
+                un = np.empty_like(grid)
+                un[order] = grid
+                grid = un
+            return table[grid]
+        else:  # trailer (0x3B) or junk
+            break
+    raise ValueError("GIF contains no image data")
+
+
 IMAGE_PIXEL_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("width", T.IntegerType()),
@@ -250,7 +358,8 @@ IMAGE_PIXEL_SCHEMA = T.StructType([
 
 def image_pixel_stats(df: DataFrame) -> DataFrame:
     """REAL per-channel pixel statistics from the dependency-free PNG
-    decode (falls back to PIL for other formats when installed):
+    and GIF decoders (falls back to PIL for other formats when
+    installed):
     per-channel means computed as exact integer sums with one final
     division — bit-stable across engines, the property the DuckDB
     oracle checks. Undecodable blobs yield valid=false rows."""
@@ -262,7 +371,12 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
             rows = []
             for mid, blob in zip(b["media_id"], b["blob"]):
                 try:
-                    rgb = png_pixels(bytes(blob)) if blob is not None else None
+                    rgb = None
+                    if blob is not None:
+                        raw = bytes(blob)
+                        rgb = png_pixels(raw)
+                        if rgb is None:
+                            rgb = gif_pixels(raw)
                     if rgb is None and _PILImage is not None:
                         import io
 

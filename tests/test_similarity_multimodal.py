@@ -601,3 +601,143 @@ def test_mp3_frame_walk():
     # trailing junk stops the walk, prefix frames still counted
     assert mm.mp3_frame_walk(blob + b"junkjunk") == (44100, 3 * 1152)
     assert mm.mp3_frame_walk(b"\x00" * 64) is None
+
+
+# ---------------------------------------------------------------------------
+# real GIF pixel decode (LZW)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices, min_code_size):
+    """Reference GIF-LZW encoder for round-trip tests (grows the code
+    width exactly when a conforming decoder does)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    codes = [(clear, min_code_size + 1)]
+    code_size = min_code_size + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    w = ()
+    for px in indices:
+        wk = w + (int(px),)
+        if wk in table:
+            w = wk
+            continue
+        codes.append((table[w], code_size))
+        table[wk] = next_code
+        next_code += 1
+        # the decoder's table lags one entry, so it widens only after
+        # its NEXT add — the encoder switches one code later than the
+        # naive rule
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        w = (int(px),)
+    if w:
+        codes.append((table[w], code_size))
+    codes.append((end, code_size))
+    # pack LSB-first
+    acc = nbits = 0
+    out = bytearray()
+    for c, size in codes:
+        acc |= c << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif(indices2d, palette, interlaced=False, min_code_size=None):
+    """Spec-layout single-frame GIF89a from an index grid + palette."""
+    import struct as st
+
+    h, w = len(indices2d), len(indices2d[0])
+    bits = max(2, (len(palette) - 1).bit_length())
+    size = 2 ** bits
+    mcs = min_code_size if min_code_size is not None else bits
+    rows = list(indices2d)
+    if interlaced:
+        order = [r for s, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for r in range(s, h, step)]
+        rows = [indices2d[r] for r in order]
+    flat = [px for row in rows for px in row]
+    lzw = _lzw_encode(flat, mcs)
+    gct = b"".join(bytes(c) for c in palette)
+    gct += b"\x00" * (3 * size - len(gct))
+    out = (b"GIF89a" + st.pack("<HH", w, h)
+           + bytes([0x80 | (bits - 1), 0, 0]) + gct
+           + b"\x2C" + st.pack("<4H", 0, 0, w, h)
+           + bytes([0x40 if interlaced else 0])
+           + bytes([mcs]))
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00\x3B"
+
+
+def test_gif_pixels_roundtrip():
+    import numpy as np
+
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    rng = np.random.RandomState(9)
+    grid = rng.randint(0, 4, (13, 9)).tolist()
+    blob = _encode_gif(grid, palette)
+    got = mm.gif_pixels(blob)
+    expect = np.array(palette, np.uint8)[np.array(grid)]
+    assert (got == expect).all()
+    # large grid: exercises code-width growth past 9 bits
+    big = rng.randint(0, 4, (40, 40)).tolist()
+    got2 = mm.gif_pixels(_encode_gif(big, palette))
+    assert (got2 == np.array(palette, np.uint8)[np.array(big)]).all()
+
+
+def test_gif_pixels_interlaced():
+    import numpy as np
+
+    palette = [(10, 10, 10), (200, 50, 25)]
+    grid = [[(r + c) % 2 for c in range(5)] for r in range(11)]
+    blob = _encode_gif(grid, palette, interlaced=True, min_code_size=2)
+    got = mm.gif_pixels(blob)
+    expect = np.array(palette, np.uint8)[np.array(grid)]
+    assert (got == expect).all()
+
+
+def test_gif_lzw_clear_per_code_stream():
+    """Decoder-only check independent of our encoder: a stream that
+    issues CLEAR before every root code (the classic 'uncompressed
+    GIF' trick) must decode to the raw index sequence."""
+    mcs = 2
+    clear, end = 4, 5
+    codes = []
+    pixels = [0, 3, 1, 2, 2, 0]
+    for p in pixels:
+        codes.append(clear)
+        codes.append(p)
+    codes.append(end)
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 3  # code size stays min+1 = 3 (cleared every code)
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    assert mm._lzw_decode(bytes(data), mcs, 100) == pixels
+
+
+def test_image_pixel_stats_gif(spark):
+    palette = [(8, 16, 32)]
+    grid = [[0, 0], [0, 0]]
+    rows = [(1, "image", _encode_gif(grid, palette, min_code_size=2),
+             "image/gif")]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    r = mm.image_pixel_stats(df).collect()[0]
+    assert (r.width, r.height) == (2, 2)
+    assert (r.mean_r, r.mean_g, r.mean_b) == (8.0, 16.0, 32.0)
+    assert r.valid
