@@ -458,8 +458,13 @@ def run_pipeline_cluster_once(
         extra_conf={
             "spark.executor.cores": "8",
             "spark.cores.max": str(total_cores),
+            # 22g per executor, NOT a "safe" 10g: at 10g the 8-task
+            # executors GC-storm on this workload (measured: stage-5
+            # task-attributed GC 686s vs 21s in local mode, 2-6x wall)
+            # — 4 x 22g + 16g driver + ~10g python workers fits the
+            # 125g host with headroom
             "spark.executor.memory": os.environ.get(
-                "SPARK_GRAFT_EXEC_MEM", "10g"
+                "SPARK_GRAFT_EXEC_MEM", "22g"
             ),
             # executors must run THIS interpreter, not whatever python3
             # is on the worker daemon's PATH
