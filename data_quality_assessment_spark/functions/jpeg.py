@@ -1,0 +1,296 @@
+"""Baseline JPEG pixel decode, dependency-free (ITU-T T.81 / JFIF).
+
+Completes the real-decode story for the formats a web crawl actually
+carries (PNG and GIF decode live in ``multimodal.py``): baseline
+sequential DCT, 8-bit, Huffman-coded JPEGs — the overwhelming majority
+of crawl images. Implemented from the public spec (marker segments,
+DQT/DHT/SOF0/SOS/DRI, byte-stuffed entropy stream, per-MCU Huffman
+block decode, dequant + dezigzag, float IDCT via the orthonormal DCT
+basis, nearest-neighbor chroma upsampling, JFIF YCbCr->RGB).
+
+Out of scope (raise ``NotImplementedError`` with a clear message):
+progressive (SOF2) and arithmetic-coded streams, 12-bit precision,
+hierarchical modes. ``image_pixel_stats`` catches these into
+valid=false rows like any undecodable blob.
+
+Scale shape: pure per-row numpy inside the ``mapInPandas`` extractors —
+no Spark-side coupling. The IDCT is a pair of 8x8 matrix multiplies
+per block (vectorized over each block's 64 coefficients); entropy
+decoding is the sequential part and is bounded by the blob size.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zig-zag scan order: index in the 8x8 block for each coefficient slot
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal 8-point DCT basis: A[u, x] = c_u/2 * cos((2x+1) u pi / 16);
+# spatial = A.T @ coeffs @ A  (the T.81 IDCT)
+_A = np.array([
+    [0.5 * (1.0 / np.sqrt(2.0) if u == 0 else 1.0)
+     * np.cos((2 * x + 1) * u * np.pi / 16.0) for x in range(8)]
+    for u in range(8)
+])
+
+
+def idct_block(coeffs: np.ndarray) -> np.ndarray:
+    """8x8 dequantized coefficient block -> spatial samples (pre level
+    shift)."""
+    return _A.T @ coeffs @ _A
+
+
+class _Huffman:
+    """Canonical Huffman table from a DHT segment (16 length counts +
+    symbols in code order, T.81 Annex C)."""
+
+    def __init__(self, counts: list[int], symbols: bytes) -> None:
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-stuffing removal; stops at any other marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn consumed by the caller
+                self.marker = nxt
+                return False
+            else:
+                self.marker = nxt
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            return 0  # past-the-end padding bits (spec: pad with 1s/0s)
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_skip_rst(self) -> None:
+        """Byte-align and consume an expected RSTn marker."""
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                self.marker = None
+                return
+            self.pos += 1
+
+    def decode_symbol(self, table: _Huffman) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.12 sign extension of a t-bit magnitude value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_block(br: _BitReader, dc_tab: _Huffman, ac_tab: _Huffman,
+                  pred: int, qt: np.ndarray) -> tuple[np.ndarray, int]:
+    """One 8x8 block: DC diff + AC runs -> dequantized coefficient
+    matrix and the new DC predictor."""
+    zz = np.zeros(64, dtype=np.float64)
+    t = br.decode_symbol(dc_tab)
+    pred += _extend(br.read_bits(t), t)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = br.decode_symbol(ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k >= 64:
+            break
+        zz[k] = _extend(br.read_bits(s), s)
+        k += 1
+    block = np.zeros(64, dtype=np.float64)
+    block[ZIGZAG] = zz * qt
+    return block.reshape(8, 8), pred
+
+
+def jpeg_pixels(blob: bytes):
+    """Baseline JPEG -> HxWx3 uint8 RGB (grayscale replicated). None
+    when the blob is not a JPEG; NotImplementedError for progressive /
+    arithmetic / 12-bit streams."""
+    if len(blob) < 4 or blob[:2] != b"\xff\xd8":
+        return None
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _Huffman] = {}
+    ac_tabs: dict[int, _Huffman] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(blob)
+    while i + 4 <= n:
+        if blob[i] != 0xFF:
+            raise ValueError("desynced JPEG marker stream")
+        marker = blob[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seg_len,) = struct.unpack(">H", blob[i + 2:i + 4])
+        body = blob[i + 4:i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                prec, tid = body[p] >> 4, body[p] & 0xF
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qts[tid] = np.frombuffer(
+                    body[p + 1:p + 65], np.uint8
+                ).astype(np.float64)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0xF
+                counts = list(body[p + 1:p + 17])
+                nsym = sum(counts)
+                symbols = body[p + 17:p + 17 + nsym]
+                tab = _Huffman(counts, symbols)
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = tab
+                p += 17 + nsym
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/arithmetic/hierarchical JPEG"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = {}
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                scan[cid] = (tabs >> 4, tabs & 0xF)
+            return _decode_scan(
+                blob, i + 2 + seg_len, frame, scan, qts,
+                dc_tabs, ac_tabs, restart_interval,
+            )
+        elif marker == 0xD9:
+            break
+        i += 2 + seg_len
+    raise ValueError("JPEG contains no scan data")
+
+
+def _decode_scan(blob, pos, frame, scan, qts, dc_tabs, ac_tabs, dri):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), np.float64)
+        for c in comps
+    ]
+    br = _BitReader(blob, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if dri and mcu_count and mcu_count % dri == 0:
+                br.align_and_skip_rst()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dct, act = scan[c["id"]]
+                qt = qts[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        block, preds[ci] = _decode_block(
+                            br, dc_tabs[dct], ac_tabs[act], preds[ci], qt
+                        )
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = (
+                            idct_block(block)
+                        )
+            mcu_count += 1
+    # level shift + upsample each component to full resolution
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci] + 128.0
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)

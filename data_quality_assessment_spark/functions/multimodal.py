@@ -377,6 +377,10 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
                         rgb = png_pixels(raw)
                         if rgb is None:
                             rgb = gif_pixels(raw)
+                        if rgb is None:
+                            from .jpeg import jpeg_pixels
+
+                            rgb = jpeg_pixels(raw)
                     if rgb is None and _PILImage is not None:
                         import io
 
