@@ -2011,6 +2011,55 @@ FROM s
 """
 
 
+def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEGs (spec-layout writer: canonical Huffman
+    tables, DC-coefficient blocks) decoded back through the
+    dependency-free Huffman+IDCT decoder (functions/jpeg.py) via the
+    image_pixel_stats extractor. DC-only blocks make the decoded image
+    uniform at clip(round(dc/8) + 128), so the oracle re-derives the
+    means in closed form — an end-to-end proof the entropy decode +
+    IDCT path is real."""
+    from data_quality_assessment_spark.functions import multimodal as mmod
+    from data_quality_assessment_spark.functions.jpeg import jpeg_pixels  # noqa: F401 — decoder under test
+
+    d = _load(spark, sf_dir, "documents")
+
+    import numpy as np
+    import pandas as pd
+
+    def make_blobs(batches):
+        from data_quality_assessment_spark.functions.jpeg import (
+            encode_dc_jpeg,
+        )
+
+        for b in batches:
+            rows = []
+            for did in b["doc_id"]:
+                did = int(did)
+                # dc a multiple of 8: the uniform sample dc/8 + 128 is an
+                # integer, so no round-half-even vs half-away divergence
+                dc = (did % 24 - 12) * 8
+                rows.append(
+                    (did, "image", encode_dc_jpeg(8, 8, dc), "image/jpeg")
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "blob", "mime"]
+            )
+
+    media = d.select("doc_id").mapInPandas(make_blobs, mmod.MEDIA_SCHEMA)
+    return mmod.image_pixel_stats(media)
+
+
+ORACLE_JPEG_PIXELS = """
+SELECT doc_id AS media_id, 8::INT AS width, 8::INT AS height,
+  ((doc_id % 24 - 12) + 128)::DOUBLE AS mean_r,
+  ((doc_id % 24 - 12) + 128)::DOUBLE AS mean_g,
+  ((doc_id % 24 - 12) + 128)::DOUBLE AS mean_b,
+  true AS valid
+FROM documents
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV PCM bytes (RIFF fmt+data, int16 samples derived from
     doc_id) built per document, decoded back through the dependency-free
@@ -2616,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_metadata": q_audio_metadata,
         "audio_features": q_audio_features,
         "image_pixel_stats": q_image_pixel_stats,
+        "jpeg_pixel_stats": q_jpeg_pixel_stats,
         "frame_sample": q_frame_sample,
         "video_metadata": q_video_metadata,
         "warc_roundtrip": q_warc_roundtrip,
@@ -2674,6 +2724,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_metadata": ORACLE_AUDIO_META,
         "audio_features": ORACLE_AUDIO_FEATURES,
         "image_pixel_stats": ORACLE_IMAGE_PIXELS,
+        "jpeg_pixel_stats": ORACLE_JPEG_PIXELS,
         "frame_sample": ORACLE_FRAME_SAMPLE,
         "video_metadata": ORACLE_VIDEO_META,
         "warc_roundtrip": ORACLE_WARC_ROUNDTRIP,

@@ -167,6 +167,53 @@ def _decode_block(br: _BitReader, dc_tab: _Huffman, ac_tab: _Huffman,
     return block.reshape(8, 8), pred
 
 
+def encode_dc_jpeg(w: int, h: int, dc: int) -> bytes:
+    """Minimal VALID baseline JPEG fixture: one grayscale component,
+    unit quant table, every block DC-only at ``dc`` (so the decoded
+    image is uniform at clip(round(dc/8) + 128)). Spec layout —
+    canonical single-length Huffman tables, DC diff coding (first block
+    carries ``dc``, the rest diff 0), EOB per block. Fixture twin of
+    ``encode_wav`` / ``report_sinks.encode_png`` for the oracle-paired
+    decode queries; the full-featured writer lives in tests."""
+    if not -1024 < dc < 1024:
+        raise ValueError("dc out of the 8-bit-precision coefficient range")
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    # DC table: symbols 0..11 all at length 8 (canonical codes 0..11);
+    # AC table: the single EOB symbol at length 8 (code 0)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 12)
+    out += bytes([0x00]) + bytes([0] * 7 + [12] + [0] * 8) + bytes(range(12))
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1)
+    out += bytes([0x10]) + bytes([0] * 7 + [1] + [0] * 8) + bytes([0x00])
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+    out += b"\x00\x3f\x00"
+    bits: list[tuple[int, int]] = []
+    n_blocks = ((w + 7) // 8) * ((h + 7) // 8)
+    for b in range(n_blocks):
+        diff = dc if b == 0 else 0
+        t = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+        bits.append((t, 8))  # DC category symbol (canonical code == t)
+        if t:
+            bits.append((diff if diff >= 0 else diff + (1 << t) - 1, t))
+        bits.append((0, 8))  # AC EOB (code 0, length 8)
+    acc = nacc = 0
+    body = bytearray()
+    for val, nb in bits:
+        for i in range(nb - 1, -1, -1):
+            acc = (acc << 1) | ((val >> i) & 1)
+            nacc += 1
+            if nacc == 8:
+                body.append(acc)
+                if acc == 0xFF:
+                    body.append(0x00)
+                acc = nacc = 0
+    if nacc:
+        body.append((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1))
+    return bytes(out + body + b"\xff\xd9")
+
+
 def jpeg_pixels(blob: bytes):
     """Baseline JPEG -> HxWx3 uint8 RGB (grayscale replicated). None
     when the blob is not a JPEG; NotImplementedError for progressive /

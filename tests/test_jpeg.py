@@ -296,3 +296,12 @@ def test_image_pixel_stats_jpeg(spark):
     assert (r.width, r.height) == (8, 8)
     assert (r.mean_r, r.mean_g, r.mean_b) == (160.0, 160.0, 160.0)
     assert r.valid
+
+
+def test_encode_dc_jpeg_fixture():
+    """The in-package DC-only fixture encoder round-trips through the
+    decoder (multi-block image exercises the diff-0 chain)."""
+    for dc in (-96, -8, 0, 8, 88):
+        got = J.jpeg_pixels(J.encode_dc_jpeg(24, 16, dc))
+        assert got.shape == (16, 24, 3)
+        assert (got == np.clip(dc // 8 + 128, 0, 255)).all(), dc
