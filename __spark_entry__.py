@@ -1258,6 +1258,131 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_dup_paragraph_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-paragraph char fraction
+    (operators/repetition.dup_paragraph_char_frac). The synthetic
+    corpus has no natural paragraph dups, so every third doc gets a
+    deterministic planted pair (its first 80 chars, newline-flattened,
+    appended twice as paragraphs) — exercising the positive path, with
+    the oracle deriving the identical corpus."""
+    from data_quality_assessment_spark.operators import repetition
+
+    d = _load(spark, sf_dir, "documents")
+    planted = F.translate(F.substring(F.col("text"), 1, 80), "\n", " ")
+    text2 = F.when(
+        (F.col("doc_id") % 3 == 0) & F.col("text").isNotNull(),
+        F.concat(F.col("text"), F.lit("\n\n"), planted, F.lit("\n\n"),
+                 planted),
+    ).otherwise(F.col("text"))
+    d2 = d.select("doc_id", text2.alias("text"))
+    return repetition.dup_paragraph_char_frac(d2, "doc_id", "text")
+
+
+ORACLE_DUP_PARA_CHARS = f"""
+WITH docs2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL
+      THEN text || chr(10) || chr(10)
+           || replace(substr(text, 1, 80), chr(10), ' ')
+           || chr(10) || chr(10)
+           || replace(substr(text, 1, 80), chr(10), ' ')
+      ELSE text END AS text
+  FROM documents
+),
+ps AS (
+  SELECT doc_id,
+    unnest(list_filter(list_transform(
+      regexp_split_to_array(coalesce(text, ''), '\\n{{2,}}'),
+      p -> regexp_replace(regexp_replace(p, '^{WS}+', ''), '{WS}+$', '')),
+      p -> p <> '')) AS p
+  FROM docs2
+),
+per AS (
+  SELECT doc_id, p, count(*) AS c, max(length(p)) AS len
+  FROM ps GROUP BY doc_id, p
+),
+agg AS (
+  SELECT doc_id,
+    round(sum((c - 1) * len)::DOUBLE / sum(c * len), 6) AS f
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(agg.f, 0.0) AS dup_paragraph_char_frac
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+def q_dup_ngram_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate 5-gram char COVERAGE (exact interval-union
+    semantics — each char counted once; repetition.dup_ngram_char_frac).
+    Every third doc gets a deterministic planted duplicated run (its
+    first 60 chars appended twice) so the positive coverage path is
+    exercised; the oracle derives the identical corpus."""
+    from data_quality_assessment_spark.operators import repetition
+
+    d = _load(spark, sf_dir, "documents")
+    snip = F.translate(F.substring(F.col("text"), 1, 60), "\n", " ")
+    text2 = F.when(
+        (F.col("doc_id") % 3 == 0) & F.col("text").isNotNull(),
+        F.concat(F.col("text"), F.lit(" "), snip, F.lit(" "), snip),
+    ).otherwise(F.col("text"))
+    d2 = d.select("doc_id", text2.alias("text"))
+    return repetition.dup_ngram_char_frac(d2, 5, "doc_id", "text")
+
+
+ORACLE_DUP_NGRAM_5 = f"""
+WITH docs2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL
+      THEN text || ' ' || replace(substr(text, 1, 60), chr(10), ' ')
+           || ' ' || replace(substr(text, 1, 60), chr(10), ' ')
+      ELSE text END AS text
+  FROM documents
+),
+t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM docs2),
+tot AS (
+  SELECT doc_id, w, length(array_to_string(w, '')) AS total FROM t
+),
+pos AS (
+  SELECT doc_id, total, g.i AS i, w[g.i] AS wd
+  FROM tot, unnest(generate_series(1, len(w))) AS g(i)
+),
+o AS (
+  SELECT doc_id, total, i, wd,
+    sum(length(wd)) OVER (PARTITION BY doc_id ORDER BY i) AS e
+  FROM pos
+),
+g5 AS (
+  SELECT doc_id, total, e - length(wd) AS s,
+    lead(e, 4) OVER w AS ge,
+    wd || ' ' || lead(wd, 1) OVER w || ' ' || lead(wd, 2) OVER w
+       || ' ' || lead(wd, 3) OVER w || ' ' || lead(wd, 4) OVER w AS g
+  FROM o WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+gg AS (SELECT * FROM g5 WHERE ge IS NOT NULL),
+dup AS (
+  SELECT doc_id, g FROM gg GROUP BY doc_id, g HAVING count(*) > 1
+),
+iv AS (
+  SELECT gg.doc_id, gg.total, gg.s, gg.ge
+  FROM gg JOIN dup USING (doc_id, g)
+),
+u AS (
+  SELECT doc_id, total,
+    greatest(ge - greatest(s, coalesce(
+      max(ge) OVER (PARTITION BY doc_id ORDER BY s, ge
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0)), 0) AS nc
+  FROM iv
+),
+a AS (
+  SELECT doc_id, round(sum(nc)::DOUBLE / any_value(total), 6) AS f
+  FROM u GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.f, 0.0) AS dup_ngram_char_frac
+FROM documents d LEFT JOIN a USING (doc_id)
+"""
+
+
 def q_top_ngram_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style top word-3-gram character coverage."""
     from data_quality_assessment_spark.operators import repetition
@@ -2654,6 +2779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model": q_quality_model,
         "url_normalize": q_url_normalize,
         "dup_line_chars": q_dup_line_chars,
+        "dup_paragraph_chars": q_dup_paragraph_chars,
+        "dup_ngram_5": q_dup_ngram_5,
         "top_ngram_3": q_top_ngram_3,
         "pii_email_count": q_pii_email_count,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2713,6 +2840,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_model": _oracle_quality_model_sql(),
         "url_normalize": ORACLE_URL_NORMALIZE,
         "dup_line_chars": ORACLE_DUP_LINE_CHARS,
+        "dup_paragraph_chars": ORACLE_DUP_PARA_CHARS,
+        "dup_ngram_5": ORACLE_DUP_NGRAM_5,
         "top_ngram_3": _oracle_top_ngram_sql(3),
         "pii_email_count": ORACLE_PII_EMAIL,
         "ann_cosine_topk": ORACLE_ANN,

@@ -87,6 +87,20 @@ def lines(text: Column) -> Column:
     return F.filter(stripped, lambda ln: ln != F.lit(""))
 
 
+def paragraphs(text: Column) -> Column:
+    """Stripped non-empty paragraphs: blocks separated by blank lines
+    (split on 2+ consecutive newlines), head/tail whitespace stripped
+    with the same `\\s` class as :func:`lines`."""
+    raw = F.split(_txt(text), r"\n{2,}", -1)
+    stripped = F.transform(
+        raw,
+        lambda p: F.regexp_replace(
+            F.regexp_replace(p, _STRIP_HEAD, ""), _STRIP_TAIL, ""
+        ),
+    )
+    return F.filter(stripped, lambda p: p != F.lit(""))
+
+
 def dup_line_frac_of(lines_col: Column) -> Column:
     """1 - distinct/total over a *materialized* lines array column —
     callers materialize ``lines(text)`` once so the three references here

@@ -30,34 +30,110 @@ from pyspark.sql import functions as F
 from ..functions import textstats as ts
 
 
-def dup_line_char_frac(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def _dup_unit_char_frac(
+    df: DataFrame, unit: Column, out: str, id_col: str
 ) -> DataFrame:
-    """(id, dup_line_char_frac) per document.
-
-    Lines are the same stripped non-empty lines as
-    ``textstats.lines``; frac = sum over distinct lines of
+    """Shared shape for the char-weighted duplicate-UNIT fraction
+    (units = lines or paragraphs): frac = sum over distinct units of
     (occurrences - 1) * chars / sum of occurrences * chars. Documents
-    with no lines score 0.0.
-    """
-    d = df.select(
-        F.col(id_col), F.explode(ts.lines(F.col(text_col))).alias("_ln")
+    with no units score 0.0."""
+    d = df.select(F.col(id_col), F.explode(unit).alias("_u"))
+    per = d.groupBy(id_col, "_u").agg(
+        F.count(F.lit(1)).alias("_c"), F.length("_u").alias("_len")
     )
-    per_line = d.groupBy(id_col, "_ln").agg(
-        F.count(F.lit(1)).alias("_c"), F.length("_ln").alias("_len")
-    )
-    agg = per_line.groupBy(id_col).agg(
+    agg = per.groupBy(id_col).agg(
         F.round(
             F.sum((F.col("_c") - 1) * F.col("_len"))
             / F.sum(F.col("_c") * F.col("_len")),
             6,
-        ).alias("dup_line_char_frac")
+        ).alias(out)
+    )
+    ids = df.select(id_col).distinct()
+    return ids.join(agg, id_col, "left").select(
+        id_col, F.coalesce(out, F.lit(0.0)).alias(out)
+    )
+
+
+def dup_line_char_frac(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, dup_line_char_frac) per document (stripped non-empty lines
+    as ``textstats.lines``)."""
+    return _dup_unit_char_frac(
+        df, ts.lines(F.col(text_col)), "dup_line_char_frac", id_col
+    )
+
+
+def dup_paragraph_char_frac(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, dup_paragraph_char_frac) per document — the Gopher
+    duplicate-paragraph twin of :func:`dup_line_char_frac` (paragraphs
+    = blank-line-separated blocks, ``textstats.paragraphs``)."""
+    return _dup_unit_char_frac(
+        df, ts.paragraphs(F.col(text_col)), "dup_paragraph_char_frac",
+        id_col,
+    )
+
+
+def dup_ngram_char_frac(
+    df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, dup_ngram_char_frac) — Gopher's duplicate n-gram CHAR
+    COVERAGE (n = 5..10 in the paper): the fraction of token characters
+    lying inside at least one occurrence of a word n-gram that occurs
+    more than once in the document, each character counted ONCE however
+    many duplicated grams overlap it (Rae et al. 2021 §A1.1: "taking
+    care not to count characters multiple times").
+
+    Exact interval-union semantics, all native: word char offsets via a
+    cumulative sum window, gram intervals via lead(), duplicated grams
+    by (id, gram) count, then the classic running-max interval-union
+    window — every step is SQL-expressible, which is what the DuckDB
+    oracle checks. The windows all partition by ``id`` and reuse one
+    sort; the only other shuffle is the (id, gram) count.
+    """
+    from pyspark.sql import Window
+
+    w = df.select(
+        F.col(id_col), ts.words(F.col(text_col)).alias("_ws")
+    ).withColumn("_total", F.length(F.concat_ws("", F.col("_ws"))))
+    pos = w.select(
+        id_col, "_total", F.posexplode("_ws").alias("_i", "_w")
+    )
+    cum = Window.partitionBy(id_col).orderBy("_i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lead_w = Window.partitionBy(id_col).orderBy("_i")
+    pos = pos.withColumn("_end", F.sum(F.length("_w")).over(cum))
+    pos = pos.withColumn("_start", F.col("_end") - F.length("_w"))
+    gram = F.concat_ws(
+        " ", F.col("_w"), *[F.lead("_w", k).over(lead_w) for k in range(1, n)]
+    )
+    gend = F.lead("_end", n - 1).over(lead_w)
+    grams = pos.select(
+        id_col, "_total", "_start", gram.alias("_g"), gend.alias("_gend")
+    ).filter(F.col("_gend").isNotNull())
+    dup = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    ivals = grams.join(dup.filter(F.col("_c") > 1), [id_col, "_g"])
+    merge = (
+        Window.partitionBy(id_col).orderBy("_start", "_gend")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.coalesce(F.max("_gend").over(merge), F.lit(0))
+    new_chars = F.greatest(
+        F.col("_gend") - F.greatest(F.col("_start"), prev_max), F.lit(0)
+    )
+    agg = ivals.withColumn("_nc", new_chars).groupBy(id_col).agg(
+        F.round(F.sum("_nc") / F.first("_total"), 6).alias(
+            "dup_ngram_char_frac"
+        )
     )
     ids = df.select(id_col).distinct()
     return ids.join(agg, id_col, "left").select(
         id_col,
-        F.coalesce("dup_line_char_frac", F.lit(0.0)).alias(
-            "dup_line_char_frac"
+        F.coalesce("dup_ngram_char_frac", F.lit(0.0)).alias(
+            "dup_ngram_char_frac"
         ),
     )
 

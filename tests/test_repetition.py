@@ -67,3 +67,36 @@ def test_plan_is_partial_agg_no_window(spark, docs):
     assert "Window" not in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan, plan
+
+
+def test_dup_paragraph_char_frac(spark):
+    rows = [
+        (1, "para one\n\npara two\n\n\npara one"),     # dup: 8/24
+        (2, "only\n\nunique\n\nparagraphs here"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.dup_paragraph_char_frac
+           for r in repetition.dup_paragraph_char_frac(df).collect()}
+    assert got[1] == round(8 / 24, 6)
+    assert got[2] == 0.0 and got[3] == 0.0
+
+
+def test_dup_ngram_char_frac_coverage(spark):
+    """Hand-computed Gopher 5-gram coverage incl. the overlap case
+    (each char counted once however many duplicated grams cover it)."""
+    rows = [
+        # "a b c d e" twice: covers chars [0,5) and [6,11) of 12 -> 10/12
+        (1, "a b c d e x a b c d e y"),
+        # fully self-overlapping duplicated grams -> whole doc covered
+        (2, "a b a b a b a b"),
+        (3, "no repeated five grams in this short sentence at all"),
+        (4, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.dup_ngram_char_frac
+           for r in repetition.dup_ngram_char_frac(df, 5).collect()}
+    assert got[1] == round(10 / 12, 6)
+    assert got[2] == 1.0
+    assert got[3] == 0.0
+    assert got[4] == 0.0
