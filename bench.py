@@ -84,6 +84,11 @@ BENCH_QUERIES = [
     "six_metric_report_scale",
     "schema_validation",
     "dup_line_chars",
+    # round-4 operator families
+    "dup_ngram_5",          # interval-union dup 5-gram coverage
+    "substring_removal",    # winnow pairs -> span excision kernel
+    "audio_features",       # WAV PCM decode -> rms/zcr via mapInPandas
+    "image_pixel_stats",    # PNG pixel decode -> channel means
 ]
 
 

@@ -365,6 +365,8 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
     oracle checks. Undecodable blobs yield valid=false rows."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import jpeg_pixels
+
         cols = ["media_id", "width", "height", "mean_r", "mean_g",
                 "mean_b", "valid"]
         for b in batches:
@@ -378,8 +380,6 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
                         if rgb is None:
                             rgb = gif_pixels(raw)
                         if rgb is None:
-                            from .jpeg import jpeg_pixels
-
                             rgb = jpeg_pixels(raw)
                     if rgb is None and _PILImage is not None:
                         import io
