@@ -1383,6 +1383,44 @@ FROM documents d LEFT JOIN a USING (doc_id)
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py — the
+    GPT-3/Llama 13-gram overlap check): the benchmark corpus is
+    synthesized deterministically as words 5..17 of every 17th doc, so
+    those docs (and any accidental 13-gram twins) must flag as
+    contaminated; the oracle re-derives grams and the semi-join in
+    SQL."""
+    from data_quality_assessment_spark.operators import decontaminate as dc
+
+    d = _load(spark, sf_dir, "documents")
+    w = d.select("doc_id", ts.words(F.col("text")).alias("_ws"))
+    bench = (
+        w.filter((F.col("doc_id") % 17 == 3) & (F.size("_ws") >= 17))
+        .select(F.concat_ws(" ", F.slice("_ws", 5, 13)).alias("text"))
+    )
+    return dc.decontaminate(d, bench)
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH t AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+bg AS (
+  SELECT DISTINCT array_to_string(w[5:17], ' ') AS g
+  FROM t WHERE doc_id % 17 = 3 AND len(w) >= 17
+),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(w[s.i:s.i+12], ' ') AS g
+  FROM t, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS s(i)
+),
+hits AS (
+  SELECT doc_id, count(*) AS n FROM dg JOIN bg USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(h.n, 0)::BIGINT AS n_contaminated_grams,
+  coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_top_ngram_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style top word-3-gram character coverage."""
     from data_quality_assessment_spark.operators import repetition
@@ -2781,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_line_chars": q_dup_line_chars,
         "dup_paragraph_chars": q_dup_paragraph_chars,
         "dup_ngram_5": q_dup_ngram_5,
+        "decontaminate": q_decontaminate,
         "top_ngram_3": q_top_ngram_3,
         "pii_email_count": q_pii_email_count,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2842,6 +2881,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_line_chars": ORACLE_DUP_LINE_CHARS,
         "dup_paragraph_chars": ORACLE_DUP_PARA_CHARS,
         "dup_ngram_5": ORACLE_DUP_NGRAM_5,
+        "decontaminate": ORACLE_DECONTAMINATE,
         "top_ngram_3": _oracle_top_ngram_sql(3),
         "pii_email_count": ORACLE_PII_EMAIL,
         "ann_cosine_topk": ORACLE_ANN,
