@@ -1,7 +1,9 @@
 """spark-submit entrypoint for corpus-level dedup — the LLM-training-data
 composition the candidate-pair operators feed:
 
-    scan docs → MinHash-LSH near-dup clusters (keep one winner per
+    scan docs → [optional] benchmark DECONTAMINATION (drop docs sharing
+                any word 13-gram with the eval corpus — --benchmark)
+              → MinHash-LSH near-dup clusters (keep one winner per
                 cluster, drop the rest)
               → winnowing exact-substring removal over the survivors
                 (excise >= min_len verbatim spans from lower-priority
@@ -40,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-jaccard", type=float, default=0.6)
     p.add_argument("--min-len", type=int, default=30)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument(
+        "--benchmark", default=None,
+        help="optional parquet of eval/benchmark docs (text column): "
+        "training docs sharing any word 13-gram with it are DROPPED "
+        "before near-dup clustering (GPT-3/Llama decontamination)",
+    )
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -56,6 +64,20 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     df = spark.read.parquet(args.input)
     n_in = df.count()
+
+    n_decontaminated = 0
+    if args.benchmark:
+        from data_quality_assessment_spark.operators.decontaminate import (
+            decontaminate,
+        )
+
+        bench = spark.read.parquet(args.benchmark)
+        flags = decontaminate(df, bench, args.id_col, args.text_col)
+        dirty = flags.filter(F.col("contaminated")).select(args.id_col)
+        clean = df.join(dirty, args.id_col, "left_anti")
+        n_clean = clean.count()
+        n_decontaminated = n_in - n_clean
+        df = clean
 
     clusters = near_dup_clusters(
         df, args.id_col, args.text_col,
@@ -78,7 +100,8 @@ def main(argv: list[str] | None = None) -> int:
     dt = time.time() - t0
     summary = {
         "n_docs_in": n_in,
-        "n_near_dup_dropped": n_in - n_kept,
+        "n_decontaminated": n_decontaminated,
+        "n_near_dup_dropped": n_in - n_decontaminated - n_kept,
         "n_docs_kept": n_kept,
         "n_docs_span_excised": int(span_stats.docs_excised or 0),
         "n_chars_removed": int(span_stats.chars_removed or 0),

@@ -50,3 +50,31 @@ def test_run_dedup_job_end_to_end(tmp_path):
     assert SPAN in got.loc[10, "text_clean"]       # canonical copy intact
     assert SPAN not in got.loc[11, "text_clean"]
     assert got.loc[11, "text_clean"].startswith("zz")
+
+
+def test_run_dedup_job_with_benchmark(tmp_path):
+    """--benchmark drops contaminated docs before clustering."""
+    snip = " ".join(f"evaltoken{i}" for i in range(13))
+    rows = [
+        (1, "clean document body " + " ".join(f"w{i}" for i in range(20))),
+        (2, "prefix words here " + snip + " and a tail"),
+        (3, "another clean unrelated document " * 5),
+    ]
+    inp = tmp_path / "docs.parquet"
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(inp)
+    bench = tmp_path / "bench.parquet"
+    pd.DataFrame([(snip,)], columns=["text"]).to_parquet(bench)
+    out = tmp_path / "out"
+    res = subprocess.run(
+        [sys.executable, "jobs/run_dedup.py", "--input", str(inp),
+         "--output", str(out), "--benchmark", str(bench),
+         "--master", "local[4]"],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(
+        [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert summary["n_decontaminated"] == 1
+    got = pd.read_parquet(out / "docs_clean")
+    assert set(got["doc_id"]) == {1, 3}
