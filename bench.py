@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "substring_removal",    # winnow pairs -> span excision kernel
     "audio_features",       # WAV PCM decode -> rms/zcr via mapInPandas
     "image_pixel_stats",    # PNG pixel decode -> channel means
+    "decontaminate",        # 13-gram eval-overlap broadcast semi-join
 ]
 
 
