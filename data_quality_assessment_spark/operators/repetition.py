@@ -86,12 +86,18 @@ def dup_ngram_char_frac(
     many duplicated grams overlap it (Rae et al. 2021 §A1.1: "taking
     care not to count characters multiple times").
 
-    Exact interval-union semantics, all native: word char offsets via a
-    cumulative sum window, gram intervals via lead(), duplicated grams
-    by (id, gram) count, then the classic running-max interval-union
-    window — every step is SQL-expressible, which is what the DuckDB
-    oracle checks. The windows all partition by ``id`` and reuse one
-    sort; the only other shuffle is the (id, gram) count.
+    Exact interval-union semantics, all native, ONE exchange on the
+    doc-stats path: word char offsets via a cumulative sum window, gram
+    intervals via lead(), duplicate tagging via a COUNT WINDOW over
+    (id, gram) — not a groupBy + self-join back, which would recompute
+    the whole gram derivation for both join sides (measured: 6
+    exchanges vs 2-3) — then the classic running-max interval-union
+    window. HashPartitioning(id) from the first window satisfies every
+    later clustering requirement ((id, gram) included), so Catalyst
+    inserts sorts, not shuffles; the only other exchanges are the
+    distinct-ids spine the zero rows join against and its join
+    alignment (plan-pinned <= 3 by tests/test_plan_shape.py). Every
+    step is SQL-expressible, which is what the DuckDB oracle checks.
     """
     from pyspark.sql import Window
 
@@ -114,8 +120,10 @@ def dup_ngram_char_frac(
     grams = pos.select(
         id_col, "_total", "_start", gram.alias("_g"), gend.alias("_gend")
     ).filter(F.col("_gend").isNotNull())
-    dup = grams.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
-    ivals = grams.join(dup.filter(F.col("_c") > 1), [id_col, "_g"])
+    cnt_w = Window.partitionBy(id_col, "_g")
+    ivals = grams.withColumn(
+        "_c", F.count(F.lit(1)).over(cnt_w)
+    ).filter(F.col("_c") > 1)
     merge = (
         Window.partitionBy(id_col).orderBy("_start", "_gend")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -198,3 +198,20 @@ def test_host_cadence_single_exchange(spark, pages_path):
     df = spark.read.parquet(pages_path)
     plan = _plan(P.host_cadence(df))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_dup_ngram_coverage_two_exchanges(spark, pages_path):
+    """dup_ngram_char_frac tags duplicates with a count WINDOW over the
+    id partition (not a groupBy + self-join that recomputes the gram
+    derivation for both sides): <= 3 exchanges — the doc-stats path,
+    the distinct-ids spine, and their join alignment (the self-join
+    form measured 6)."""
+    from data_quality_assessment_spark.operators import repetition
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(pages_path).select(
+        F.xxhash64("url").alias("doc_id"), "text"
+    )
+    plan = _plan(repetition.dup_ngram_char_frac(df, 5))
+    assert plan.count("Exchange") <= 3, plan
