@@ -165,7 +165,12 @@ def _decode_block(br: _BitReader, dc_tab: _Huffman, ac_tab: _Huffman,
             break  # EOB
         k += r
         if k >= 64:
-            break
+            # a run that escapes the block with a pending magnitude is
+            # not producible by a conforming encoder (T.81 F.1.2.2) —
+            # silently breaking here would leave the s magnitude bits
+            # unconsumed and desync the entropy stream, decoding every
+            # later MCU to garbage reported as valid=true stats
+            raise ValueError("JPEG AC run past end of block")
         zz[k] = _extend(br.read_bits(s), s)
         k += 1
     block = np.zeros(64, dtype=np.float64)

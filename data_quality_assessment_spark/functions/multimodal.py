@@ -356,6 +356,30 @@ IMAGE_PIXEL_SCHEMA = T.StructType([
 ])
 
 
+def _decode_image_rgb(raw: bytes) -> np.ndarray:
+    """RGB pixel array via the dependency-free native decoders (PNG,
+    GIF, JPEG), falling back to PIL when installed. A native decoder
+    raising NotImplementedError (arithmetic JPEG, exotic PNG) or
+    ValueError must NOT preempt the PIL branch — PIL only loses its
+    shot when no decoder (native or PIL) handles the blob, which raises
+    ValueError so callers emit a valid=false row."""
+    from .jpeg import jpeg_pixels
+
+    for dec in (png_pixels, gif_pixels, jpeg_pixels):
+        try:
+            rgb = dec(raw)
+        except (NotImplementedError, ValueError):
+            rgb = None
+        if rgb is not None:
+            return rgb
+    if _PILImage is not None:
+        import io
+
+        with _PILImage.open(io.BytesIO(raw)) as im:
+            return np.asarray(im.convert("RGB"))
+    raise ValueError("undecodable image blob")
+
+
 def image_pixel_stats(df: DataFrame) -> DataFrame:
     """REAL per-channel pixel statistics from the dependency-free PNG
     and GIF decoders (falls back to PIL for other formats when
@@ -365,29 +389,15 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
     oracle checks. Undecodable blobs yield valid=false rows."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .jpeg import jpeg_pixels
-
         cols = ["media_id", "width", "height", "mean_r", "mean_g",
                 "mean_b", "valid"]
         for b in batches:
             rows = []
             for mid, blob in zip(b["media_id"], b["blob"]):
                 try:
-                    rgb = None
-                    if blob is not None:
-                        raw = bytes(blob)
-                        rgb = png_pixels(raw)
-                        if rgb is None:
-                            rgb = gif_pixels(raw)
-                        if rgb is None:
-                            rgb = jpeg_pixels(raw)
-                    if rgb is None and _PILImage is not None:
-                        import io
-
-                        with _PILImage.open(io.BytesIO(bytes(blob))) as im:
-                            rgb = np.asarray(im.convert("RGB"))
-                    if rgb is None:
-                        raise ValueError("undecodable")
+                    if blob is None:
+                        raise ValueError("null blob")
+                    rgb = _decode_image_rgb(bytes(blob))
                     h, w = rgb.shape[:2]
                     npx = h * w
                     sums = rgb.reshape(-1, 3).astype(np.int64).sum(axis=0)
@@ -766,6 +776,30 @@ def wav_samples(blob: bytes):
     return (rate, x)
 
 
+def _exact_ssq(x: np.ndarray) -> int:
+    """Exact integer sum of squares for PCM samples of any width.
+
+    A single int64 dot is exact only while |sample| < 2^16: 24-bit PCM
+    wraps int64 after ~3 s of full-scale 44.1 kHz audio (n*2^46) and
+    32-bit after two samples (2^62 each). For wider samples split each
+    |x| = hi*2^16 + lo and combine three overflow-safe int64 partial
+    dots as arbitrary-precision Python ints:
+    sum(x^2) = sum(hi^2)<<32 + sum(hi*lo)<<17 + sum(lo^2)
+    (hi <= 2^15 so each partial is <= n*2^32 — safe to n ~ 2^30)."""
+    a = np.abs(np.asarray(x, dtype=np.int64))
+    if a.size == 0:
+        return 0
+    if int(a.max()) < (1 << 16):
+        return int(np.dot(a, a))
+    hi = a >> 16
+    lo = a & 0xFFFF
+    return (
+        (int(np.dot(hi, hi)) << 32)
+        + (int(np.dot(hi, lo)) << 17)
+        + int(np.dot(lo, lo))
+    )
+
+
 AUDIO_FEATURE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("sample_rate", T.IntegerType()),
@@ -781,8 +815,10 @@ AUDIO_FEATURE_SCHEMA = T.StructType([
 def audio_features(df: DataFrame) -> DataFrame:
     """REAL audio features from WAV PCM sample decode (media table ->
     one feature row per blob): rms energy, peak amplitude, zero-crossing
-    rate, duration. Integer PCM stats are computed in EXACT int64
-    arithmetic (sum of squares, abs-max, sign-change count) with one
+    rate, duration. Integer PCM stats are computed in EXACT integer
+    arithmetic (``_exact_ssq`` split-dot sum of squares — safe at
+    24/32-bit widths where a plain int64 dot wraps — abs-max,
+    sign-change count) with one
     final float division/sqrt, so results are bit-stable across
     engines/batch orders — the property the DuckDB oracle query checks.
     Non-WAV / compressed blobs yield valid=false rows. Same streaming
@@ -809,8 +845,8 @@ def audio_features(df: DataFrame) -> DataFrame:
                     )
                 nsamp = int(x.size)
                 if np.issubdtype(x.dtype, np.integer):
-                    ssq = int(np.dot(x, x))        # exact int64 path
-                    pk = int(np.abs(x).max())
+                    ssq = _exact_ssq(x)  # exact at any PCM width
+                    pk = int(np.abs(np.asarray(x, np.int64)).max())
                 else:
                     ssq = float(np.dot(x, x))
                     pk = float(np.abs(x).max())
@@ -870,11 +906,23 @@ def mp3_frame_walk(blob: bytes) -> tuple[int, int] | None:
     (frame length = 144 * bitrate / sample_rate + padding, per the MPEG
     audio spec; each frame decodes to 1152 PCM samples per channel).
     This is the exact per-file sample count VBR files need — the single
-    first-frame header can't give it. Walk stops at the first byte
-    that is not a valid frame sync (truncated tail tolerated, trailing
-    ID3v1 'TAG' block skipped). None when no frame parses."""
+    first-frame header can't give it. Leading junk/padding after the
+    ID3v2 tag (common in stream rips) is skipped by scanning forward to
+    the first valid frame sync — the same search ``mp3_frame_header``
+    does, so the two decoders accept the same blobs. From there frames
+    must be contiguous: the walk stops at the first byte that is not a
+    valid frame sync (truncated tail tolerated, trailing ID3v1 'TAG'
+    block skipped). None when no frame parses."""
     i = _skip_id3(blob)
     n = len(blob)
+    # scan forward to the first valid MPEG-1 Layer III header
+    while i + 4 <= n:
+        if blob[i] == 0xFF and (blob[i + 1] & 0xE0) == 0xE0:
+            if ((blob[i + 1] >> 3) & 0x3) == 3 and ((blob[i + 1] >> 1) & 0x3) == 1:
+                if (_MP3_BITRATES[(blob[i + 2] >> 4) & 0xF]
+                        and _MP3_RATES[(blob[i + 2] >> 2) & 0x3]):
+                    break
+        i += 1
     frames = 0
     rate = None
     while i + 4 <= n:

@@ -37,12 +37,16 @@ def content_tiebreak() -> Column:
     (text + hex(html)), so the winner is deterministic on the WARC
     ingest path too, where content lives in ``html`` and ``text`` is
     null — hashing only text would give every such page the constant
-    md5('') and a repartitioning-dependent winner. Spark ``hex`` on
-    binary yields uppercase, matched by the pandas oracle
-    (tests/oracle.py) via ``bytes.hex().upper()``."""
+    md5('') and a repartitioning-dependent winner. A NUL delimiter
+    separates the two fields so (text='AB', html=NULL) cannot collide
+    with (text='A', html=0x??) — without it the concatenation is
+    ambiguous and two different-content rows in one dedup group could
+    share a tiebreak. Spark ``hex`` on binary yields uppercase, matched
+    by the pandas oracle (tests/oracle.py) via ``bytes.hex().upper()``."""
     return F.md5(
         F.concat(
             F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\u0000"),
             F.coalesce(F.hex(F.col("html")), F.lit("")),
         )
     )

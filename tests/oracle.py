@@ -36,12 +36,13 @@ def _md5(s: str) -> str:
 
 
 def _content_tb(r) -> str:
-    """md5 over text + uppercase-hex(html) — mirrors
-    plans/pipeline.content_tiebreak (Spark hex(binary) is uppercase)."""
+    """md5 over text + NUL + uppercase-hex(html) — mirrors
+    plans/pipeline.content_tiebreak (Spark hex(binary) is uppercase;
+    the NUL delimiter disambiguates the field boundary)."""
     t = r.get("text") if isinstance(r.get("text"), str) else ""
     h = r.get("html")
     hx = h.hex().upper() if isinstance(h, (bytes, bytearray)) else ""
-    return _md5(t + hx)
+    return _md5(t + "\x00" + hx)
 
 
 def oracle_dedup(df: pd.DataFrame) -> pd.DataFrame:

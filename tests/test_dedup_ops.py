@@ -129,13 +129,15 @@ def test_dedup_pages_html_only_deterministic_winner(spark):
     b = winners(df.orderBy(F.desc("html")).repartition(13))
     c = winners(df.repartition(3, "url"))
     assert a == b == c
-    # winner = min md5('' + uppercase-hex(html)) within each group
+    # winner = min md5('' + NUL + uppercase-hex(html)) within each group
     expect = set()
     for g in range(6):
         variants = [f"<p>body {g} variant {v}</p>".encode() for v in range(4)]
         best = min(
             variants,
-            key=lambda h: hashlib.md5(h.hex().upper().encode()).hexdigest(),
+            key=lambda h: hashlib.md5(
+                ("\x00" + h.hex().upper()).encode()
+            ).hexdigest(),
         )
         expect.add((f"https://h/{g}", best))
     assert a == expect
@@ -236,3 +238,17 @@ def test_near_dup_clusters_end_to_end(spark):
     assert got[3].component == 1 and not got[3].keep
     # unrelated docs are not in any cluster (not returned)
     assert 50 not in got and 60 not in got
+
+
+def test_content_tiebreak_field_boundary_unambiguous(spark):
+    """(text='AB', html=NULL) and (text='', html=0xAB) concatenate to
+    the same md5 input without a delimiter; the NUL separator makes the
+    field boundary unambiguous (ADVICE r5)."""
+    from data_quality_assessment_spark.plans.pipeline import content_tiebreak
+
+    df = spark.createDataFrame(
+        [("AB", None), ("", bytearray(b"\xab"))],
+        "text string, html binary",
+    )
+    tbs = [r[0] for r in df.select(content_tiebreak()).collect()]
+    assert tbs[0] != tbs[1]

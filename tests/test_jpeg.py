@@ -305,3 +305,23 @@ def test_encode_dc_jpeg_fixture():
         got = J.jpeg_pixels(J.encode_dc_jpeg(24, 16, dc))
         assert got.shape == (16, 24, 3)
         assert (got == np.clip(dc // 8 + 128, 0, 255)).all(), dc
+
+
+def test_decode_block_raises_on_ac_run_past_block():
+    """An AC symbol whose run escapes the block with a pending magnitude
+    (not producible by a conforming encoder) must raise instead of
+    silently breaking with the s bits unconsumed — the old break
+    desynced the entropy stream and decoded later MCUs to garbage
+    reported as valid=true stats (ADVICE r5)."""
+    import numpy as np
+    import pytest
+
+    from data_quality_assessment_spark.functions import jpeg as J
+
+    dc = J._Huffman([1] + [0] * 15, bytes([0]))        # t=0 at code 0
+    ac = J._Huffman([1] + [0] * 15, bytes([0xF5]))     # run=15, s=5 at code 0
+    # every symbol is the 1-bit code 0: k walks 16,32,48 then the 4th
+    # ZRL-with-magnitude pushes k to 64 with s=5 pending
+    br = J._BitReader(bytes(12), 0)
+    with pytest.raises(ValueError):
+        J._decode_block(br, dc, ac, 0, np.ones(64))

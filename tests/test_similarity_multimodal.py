@@ -741,3 +741,99 @@ def test_image_pixel_stats_gif(spark):
     assert (r.width, r.height) == (2, 2)
     assert (r.mean_r, r.mean_g, r.mean_b) == (8.0, 16.0, 32.0)
     assert r.valid
+
+
+# ---------------------------------------------------------------------------
+# round-5 ADVICE regressions: wide-PCM exact ssq, PIL fallback reach,
+# MP3 leading-junk sync scan
+# ---------------------------------------------------------------------------
+
+
+def test_exact_ssq_wide_pcm_no_int64_wrap():
+    # 24-bit full-scale wraps a naive int64 dot after ~131k samples
+    v = (1 << 23) - 1
+    x = np.full(200_000, v, dtype=np.int64)
+    x[::2] *= -1
+    assert mm._exact_ssq(x) == 200_000 * v * v  # true value exceeds 2^63
+    # 32-bit full-scale wraps after two samples
+    w = (1 << 31) - 1
+    y = np.array([w, -w, w, w - 5], dtype=np.int64)
+    assert mm._exact_ssq(y) == sum(int(t) * int(t) for t in y.tolist())
+    # 16-bit stays on the single-dot fast path
+    z = np.array([3, -4, 12, -32768], dtype=np.int64)
+    assert mm._exact_ssq(z) == 9 + 16 + 144 + 32768 * 32768
+    assert mm._exact_ssq(np.array([], dtype=np.int64)) == 0
+
+
+def test_audio_features_32bit_overflow_safe(spark):
+    """Full-scale 32-bit PCM: the old int64 np.dot wrapped (rms NaN or
+    garbage while valid=true); the split-dot path must report rms=peak=1."""
+    w = (1 << 31) - 1
+    s = np.full(1000, w, dtype=np.int64)
+    s[::2] *= -1
+    blob = mm.encode_wav(8000, s, bits=32)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, blob binary"
+    )
+    r = mm.audio_features(df).collect()[0]
+    assert r.valid
+    assert r.rms == pytest.approx(1.0, abs=1e-6)
+    assert r.peak == pytest.approx(1.0, abs=1e-6)
+    assert r.zcr == pytest.approx(1.0, abs=1e-6)
+
+
+def test_decode_image_rgb_pil_fallback_on_notimplemented(monkeypatch):
+    """A native decoder raising NotImplementedError must not preempt the
+    PIL branch (ADVICE r5): with a stub PIL installed, a JPEG variant the
+    native decoder rejects still decodes instead of becoming valid=false."""
+    sentinel = np.full((2, 3, 3), 7, dtype=np.uint8)
+
+    class _FakeIm:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return sentinel
+
+    class _FakePIL:
+        @staticmethod
+        def open(fp):
+            return _FakeIm()
+
+    # arithmetic-coded JPEG (SOF9) — native decoder raises NotImplementedError
+    blob = b"\xff\xd8\xff\xc9" + bytes(20)
+    from data_quality_assessment_spark.functions.jpeg import jpeg_pixels
+
+    with pytest.raises(NotImplementedError):
+        jpeg_pixels(blob)
+    monkeypatch.setattr(mm, "_PILImage", _FakePIL)
+    out = mm._decode_image_rgb(blob)
+    assert out.shape == (2, 3, 3) and (out == 7).all()
+    # and with no PIL at all the same blob raises -> valid=false row
+    monkeypatch.setattr(mm, "_PILImage", None)
+    with pytest.raises(ValueError):
+        mm._decode_image_rgb(blob)
+
+
+def test_mp3_frame_walk_leading_junk():
+    """Stream-rip style blobs with junk between the ID3 tag and the first
+    frame sync must walk the same frames the clean blob does."""
+
+    def frame(br_idx=9, sr_idx=0, pad=0):
+        h = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2) | (pad << 1), 0])
+        flen = (144 * mm._MP3_BITRATES[br_idx] * 1000) // mm._MP3_RATES[sr_idx] + pad
+        return h + bytes(flen - 4)
+
+    clean = frame() + frame() + frame()
+    assert mm.mp3_frame_walk(clean) == (44100, 3 * mm.MP3_SAMPLES_PER_FRAME)
+    junk = b"\x00paddingjunk\xfe" * 3 + clean
+    assert mm.mp3_frame_walk(junk) == mm.mp3_frame_walk(clean)
+    assert mm.mp3_frame_header(junk) == (44100, 128)
+    # junk containing a bare 0xFF that is NOT a valid sync is skipped too
+    junk2 = b"\xff\x00\xff\xe0" + clean  # second: version/layer invalid
+    assert mm.mp3_frame_walk(junk2) == (44100, 3 * mm.MP3_SAMPLES_PER_FRAME)
+    assert mm.mp3_frame_walk(b"\x00" * 64) is None
