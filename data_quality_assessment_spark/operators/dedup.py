@@ -241,10 +241,34 @@ def minhash_bands(
 
 
 def minhash_candidates(
-    df: DataFrame, id_col: str, text_col: str, fast: bool = True
+    df: DataFrame, id_col: str, text_col: str, fast: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Distinct candidate near-dup pairs (id_a < id_b) sharing any band."""
+    """Distinct candidate near-dup pairs (id_a < id_b) sharing any band.
+
+    ``max_df`` caps how many documents may share one band key before
+    the self-join: a giant identical-boilerplate cluster lands C docs
+    on one band key and would emit C^2/2 pairs from that single key. A
+    band past the cap still identifies a duplicate CLUSTER — it just
+    doesn't need all-pairs evidence; capped pipelines handle such
+    clusters via exact dedup (identical docs have identical content
+    hashes) or by sampling the bucket. The filter is a count window
+    over the join key, riding the join's own exchange — no extra
+    shuffle. Default None keeps exact semantics for the oracle."""
+    from pyspark.sql import Window
+
     b = minhash_bands(df, id_col, text_col, fast=fast)
+    if max_df is not None:
+        b = (
+            b.withColumn(
+                "_df",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("band_idx", "band_key")
+                ),
+            )
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
     a = b.alias("a")
     c = b.alias("c")
     return (
@@ -480,6 +504,7 @@ def near_dup_clusters(
     df: DataFrame, id_col: str, text_col: str,
     min_jaccard: float = 0.6, fast: bool = True,
     checkpoint_dir: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """The full near-dup pipeline: MinHash-band candidates -> exact
     Jaccard verification (>= min_jaccard) -> connected components ->
@@ -490,8 +515,11 @@ def near_dup_clusters(
     Every stage is bounded: banding bounds the candidate count,
     verification is per-candidate work, components converge in
     O(log diameter) join rounds. No stage ever materializes all-pairs.
+    ``max_df`` (see minhash_candidates) bounds the worst-case band
+    bucket at web scale.
     """
-    cand = minhash_candidates(df, id_col, text_col, fast=fast)
+    cand = minhash_candidates(df, id_col, text_col, fast=fast,
+                              max_df=max_df)
     verified = jaccard_for_pairs(df, cand, id_col, text_col).filter(
         F.col("jaccard") >= min_jaccard
     )

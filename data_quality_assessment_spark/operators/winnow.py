@@ -89,6 +89,7 @@ def exact_substring_removal(
     df: DataFrame, id_col: str, text_col: str,
     k: int = DEFAULT_K, w: int = DEFAULT_W, min_len: int = 30,
     *, fast: bool = True,
+    max_df: int | None = None, max_partners: int | None = None,
 ) -> DataFrame:
     """Exact-substring REMOVAL (the Lee et al. 2021 'Deduplicating
     Training Data' step that fingerprinting enables): for every
@@ -118,11 +119,36 @@ def exact_substring_removal(
     excision kernel is one ``applyInPandas`` over ``id_b`` groups
     doing integer array ops. Guarantee: a shared span of length
     >= max(min_len, w + k - 1) is always excised.
+
+    Two skew guards for web scale (both default off so the oracle
+    parity check sees exact semantics):
+      * ``max_df`` — drop fingerprints shared by more than max_df docs
+        before pairing (see :func:`winnow_pairs`), bounding candidate
+        fan-out from viral boilerplate;
+      * ``max_partners`` — keep only the top-N partners per ``id_b``
+        (by n_shared desc, id_a asc — the partners most likely to
+        contribute coverage), bounding the gram bytes one excision
+        group collects: an id_b paired with thousands of partners
+        would otherwise gather all their full gram arrays (~8 B/char
+        each) into one in-memory pandas group and OOM the task.
     """
     import numpy as np
     import pandas as pd
 
-    pairs = winnow_pairs(df, id_col, text_col, k, w, fast=fast)
+    pairs = winnow_pairs(df, id_col, text_col, k, w, fast=fast,
+                         max_df=max_df)
+    if max_partners is not None:
+        from pyspark.sql import Window
+
+        wnd = (
+            Window.partitionBy("id_b")
+            .orderBy(F.col("n_shared").desc(), F.col("id_a").asc())
+        )
+        pairs = (
+            pairs.withColumn("_rk", F.row_number().over(wnd))
+            .filter(F.col("_rk") <= max_partners)
+            .drop("_rk")
+        )
     grams = df.select(
         F.col(id_col), _gram_hashes(F.col(text_col), k, fast).alias("_g")
     )
@@ -184,12 +210,35 @@ def winnow_pairs(
     df: DataFrame, id_col: str, text_col: str,
     k: int = DEFAULT_K, w: int = DEFAULT_W,
     min_shared: int = 1, *, fast: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, n_shared) — document pairs sharing >= min_shared
     winnowing fingerprints, i.e. pairs with verbatim spans of length
     >= w + k - 1 chars in common. Join is per-fingerprint bucket (the
-    MinHash-band shape): no all-pairs path exists."""
+    MinHash-band shape): no all-pairs path exists.
+
+    ``max_df`` caps the document frequency of a fingerprint before the
+    self-join: a license header / boilerplate span present in F
+    documents would otherwise emit F^2/2 candidate pairs from ONE hot
+    key — quadratic blowup at web scale. Fingerprints past the cap
+    carry no dedup information (they identify boilerplate, not copied
+    documents), so dropping them bounds per-key join work at
+    max_df^2/2 without hurting recall on genuinely copied spans (such
+    spans also share their non-boilerplate fingerprints). The filter is
+    a count window over the join key itself, so it rides the join's own
+    fp exchange — no extra shuffle (plan-pinned). Default None keeps
+    exact semantics for the oracle parity check."""
+    from pyspark.sql import Window
+
     fp = winnow_fingerprints(df, id_col, text_col, k, w, fast=fast)
+    if max_df is not None:
+        fp = (
+            fp.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+            )
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, "fp")

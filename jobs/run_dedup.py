@@ -43,6 +43,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-len", type=int, default=30)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument(
+        "--max-df", type=int, default=None,
+        help="drop MinHash bands / winnowing fingerprints shared by "
+        "more than this many docs before the candidate self-join "
+        "(bounds the quadratic blowup of viral boilerplate; see "
+        "operators/winnow.winnow_pairs)",
+    )
+    p.add_argument(
+        "--max-partners", type=int, default=None,
+        help="cap partners per doc in exact-substring removal (top-N "
+        "by shared fingerprints) so one doc paired against thousands "
+        "cannot OOM its excision task",
+    )
+    p.add_argument(
         "--benchmark", default=None,
         help="optional parquet of eval/benchmark docs (text column): "
         "training docs sharing any word 13-gram with it are DROPPED "
@@ -82,12 +95,14 @@ def main(argv: list[str] | None = None) -> int:
     clusters = near_dup_clusters(
         df, args.id_col, args.text_col,
         min_jaccard=args.min_jaccard, checkpoint_dir=args.checkpoint_dir,
+        max_df=args.max_df,
     )
     losers = clusters.filter(~F.col("keep")).select(args.id_col)
     kept = df.join(losers, args.id_col, "left_anti")
 
     cleaned = exact_substring_removal(
-        kept, args.id_col, args.text_col, min_len=args.min_len
+        kept, args.id_col, args.text_col, min_len=args.min_len,
+        max_df=args.max_df, max_partners=args.max_partners,
     )
     cleaned.write.mode("overwrite").parquet(args.output + "/docs_clean")
 

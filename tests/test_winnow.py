@@ -156,3 +156,127 @@ def test_exact_substring_removal_below_threshold_kept(spark):
     }
     assert got[2].n_removed == 0
     assert got[2].text_clean == rows[1][1]
+
+
+# ---------------------------------------------------------------------------
+# round-5 skew guards: max_df fingerprint cap + max_partners fan-in cap
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_pairs_max_df_bounds_boilerplate_blowup(spark):
+    """A boilerplate span planted in many docs must not emit quadratic
+    candidate pairs when max_df caps hot fingerprints; a genuine
+    two-doc copy (whose fingerprints have df=2) must survive the cap."""
+    import numpy as np
+
+    from data_quality_assessment_spark.functions.lm import sample_words
+
+    rng = np.random.RandomState(11)
+    boiler = "this license header is identical across the entire corpus"
+    rows = [
+        (i, " ".join(sample_words(rng, 20)) + " " + boiler)
+        for i in range(60)
+    ]
+    # a real copied pair with UNIQUE shared content (df=2 fingerprints)
+    shared = " ".join(sample_words(rng, 30))
+    rows += [(1000, "prefix " + shared), (1001, shared + " suffix")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = winnow.winnow_pairs(df, "doc_id", "text").count()
+    assert uncapped >= 60 * 59 / 2  # the blowup the cap prevents
+
+    capped = winnow.winnow_pairs(df, "doc_id", "text", max_df=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (1000, 1001) in got  # df=2 fingerprints untouched by the cap
+    # every surviving pair key has bucket size <= max_df -> total pairs
+    # bounded far below the quadratic count
+    assert len(got) < uncapped / 10
+
+
+def test_minhash_candidates_max_df_bounds_identical_cluster(spark):
+    """1000 identical docs share every band key: uncapped emits C^2/2
+    pairs; max_df drops those buckets entirely (exact dedup handles
+    identical docs) while distinct near-dup pairs survive."""
+    import numpy as np
+
+    from data_quality_assessment_spark.functions.lm import sample_words
+    from data_quality_assessment_spark.operators import dedup as dd
+
+    rng = np.random.RandomState(12)
+    boiler = " ".join(sample_words(rng, 40))
+    rows = [(i, boiler) for i in range(200)]  # identical cluster
+    base = " ".join(sample_words(rng, 40))
+    ws = base.split()
+    ws[5] = "mutated"
+    rows += [(1000, base), (1001, " ".join(ws))]  # a genuine near-dup pair
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_candidates(
+            df, "doc_id", "text", max_df=50
+        ).collect()
+    }
+    assert (1000, 1001) in capped
+    # no pair from the 200-doc identical cluster survives the cap
+    assert not any(a < 200 and b < 200 for a, b in capped)
+
+
+def test_winnow_max_df_no_extra_shuffle(spark):
+    """The df-cap window must ride the self-join's fp exchange — same
+    Exchange count capped vs uncapped (plan-pinned)."""
+    df = spark.createDataFrame(
+        [(i, f"some text body number {i % 5} repeated here") for i in range(20)],
+        "doc_id long, text string",
+    )
+
+    def nex(d):
+        return d._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+    assert nex(winnow.winnow_pairs(df, "doc_id", "text", max_df=5)) == nex(
+        winnow.winnow_pairs(df, "doc_id", "text")
+    )
+
+
+def test_substring_removal_max_partners_bounds_fan_in(spark):
+    """One low-priority doc candidate-paired with 500 partners: the cap
+    keeps the top-N partners by n_shared, the excision group collects N
+    gram arrays instead of 500, and the dominant shared span is still
+    removed."""
+    import numpy as np
+
+    from data_quality_assessment_spark.functions.lm import sample_words
+
+    rng = np.random.RandomState(13)
+    span = "the one long verbatim paragraph that must still be excised ok"
+    # 500 higher-priority partners all containing the span
+    rows = [
+        (i, " ".join(sample_words(rng, 10)) + " " + span)
+        for i in range(500)
+    ]
+    victim_text = "unique prefix words " + span + " unique suffix words"
+    rows.append((9000, victim_text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        r.doc_id: r
+        for r in winnow.exact_substring_removal(
+            df, "doc_id", "text", max_partners=8
+        ).collect()
+    }
+    v = out[9000]
+    assert span not in v.text_clean
+    # boundary grams may legitimately match a partner ending in the same
+    # word, so only the inner prefix/suffix are guaranteed to survive
+    assert "unique prefix" in v.text_clean
+    assert "unique suffix words" in v.text_clean
+    assert v.n_removed >= len(span)
+    # capped and uncapped agree on this corpus (coverage is the same
+    # span from every partner)
+    unc = {
+        r.doc_id: r.text_clean
+        for r in winnow.exact_substring_removal(
+            df, "doc_id", "text"
+        ).collect()
+    }
+    assert unc[9000] == v.text_clean
