@@ -273,12 +273,53 @@ def _ft_subword_hashes(word: str, minn: int, maxn: int, bucket: int) -> list[int
     return out
 
 
+def _build_hs_tree(counts: list[int]):
+    """Huffman tree over the output classes, exactly as
+    ``Model::buildTree`` (public fastText ``src/model.cc``): leaves
+    0..osz-1 carry the label counts (dictionary order = count
+    descending), internal nodes osz..2osz-2 are built by repeatedly
+    merging the two smallest of (remaining leaves from the tail,
+    already-built internal nodes); the SECOND merged child gets
+    binary=true (the 'right' branch whose step multiplies sigmoid(+dot)
+    instead of 1-sigmoid). Internal node i reads output-matrix row
+    i - osz. Returns (parent, binary) arrays of length 2*osz-1."""
+    osz = len(counts)
+    big = 1 << 60
+    cnt = [int(c) for c in counts] + [big] * (osz - 1)
+    parent = [-1] * (2 * osz - 1)
+    binary = [False] * (2 * osz - 1)
+    leaf, node = osz - 1, osz
+    for i in range(osz, 2 * osz - 1):
+        mini = [0, 0]
+        for j in range(2):
+            if leaf >= 0 and cnt[leaf] < cnt[node]:
+                mini[j] = leaf
+                leaf -= 1
+            else:
+                mini[j] = node
+                node += 1
+        cnt[i] = cnt[mini[0]] + cnt[mini[1]]
+        parent[mini[0]] = i
+        parent[mini[1]] = i
+        binary[mini[1]] = True
+    return parent, binary
+
+
 class FastTextModel:
-    """Unquantized supervised fastText model: predict = softmax(output @
-    mean(input rows of the line's tokens/subwords/word-ngrams))."""
+    """Supervised fastText model: hidden = mean(input rows of the
+    line's tokens/subwords/word-ngrams); predict = softmax(output @
+    hidden) for softmax loss, or the Huffman-tree sigmoid-path product
+    for hierarchical softmax (loss=hs).
+
+    ``pruneidx`` (quantize ``-cutoff`` models): bucket-hash ids are
+    remapped through the pruning map before indexing the input matrix
+    (``Dictionary::pushHash``) — ids absent from the map contribute
+    nothing. None means unpruned (identity mapping)."""
 
     def __init__(self, header: FastTextHeader, words: list[str],
-                 types: list[int], input_mat, output_mat) -> None:
+                 types: list[int], input_mat, output_mat,
+                 counts: list[int] | None = None,
+                 pruneidx: dict[int, int] | None = None) -> None:
         import numpy as np
 
         self.header = header
@@ -289,11 +330,31 @@ class FastTextModel:
         self.labels = [w for w, t in zip(words, types) if t == 1]
         self.input = np.asarray(input_mat, dtype=np.float32)
         self.output = np.asarray(output_mat, dtype=np.float32)
-        if header.loss == 1:
-            raise NotImplementedError(
-                "hierarchical-softmax prediction not implemented "
-                "(supervised langid models like lid.176 use softmax)"
-            )
+        self.pruneidx = pruneidx
+        self._hs = None
+        if header.loss == 1:  # hierarchical softmax
+            if counts is None:
+                raise ValueError("hs model needs dictionary label counts")
+            lbl_counts = [
+                c for c, t in zip(counts, types) if t == 1
+            ]
+            if self.output.shape[0] != len(lbl_counts) - 1:
+                raise ValueError(
+                    f"hs output matrix has {self.output.shape[0]} rows, "
+                    f"expected n_labels-1 = {len(lbl_counts) - 1}"
+                )
+            self._hs = _build_hs_tree(lbl_counts)
+
+    def _push_bucket(self, rows: list[int], h: int) -> None:
+        """``Dictionary::pushHash``: bucket-hash id -> input-matrix row,
+        through the pruning map when the dictionary is pruned."""
+        if self.pruneidx is not None:
+            j = self.pruneidx.get(h)
+            if j is None:
+                return
+            rows.append(self.nwords + j)
+        else:
+            rows.append(self.nwords + h)
 
     def _line_rows(self, text: str) -> tuple[list[int], list[int]]:
         """(input-matrix row ids, word hashes) for one line — the
@@ -309,16 +370,13 @@ class FastTextModel:
             if wid >= 0:
                 rows.append(wid)
                 if h.maxn > 0 and tok != _FT_EOS:
-                    rows.extend(
-                        self.nwords + x
-                        for x in _ft_subword_hashes(tok, h.minn, h.maxn, h.bucket)
-                    )
+                    for x in _ft_subword_hashes(tok, h.minn, h.maxn,
+                                                h.bucket):
+                        self._push_bucket(rows, x)
                 hashes.append(ft_hash(tok))
             elif h.maxn > 0:
-                rows.extend(
-                    self.nwords + x
-                    for x in _ft_subword_hashes(tok, h.minn, h.maxn, h.bucket)
-                )
+                for x in _ft_subword_hashes(tok, h.minn, h.maxn, h.bucket):
+                    self._push_bucket(rows, x)
                 hashes.append(ft_hash(tok))
             else:
                 hashes.append(ft_hash(tok))
@@ -338,21 +396,42 @@ class FastTextModel:
                 acc = sx[i]
                 for j in range(i + 1, min(i + h.word_ngrams, len(sx))):
                     acc = (acc * 116049371 + sx[j]) & 0xFFFFFFFFFFFFFFFF
-                    rows.append(self.nwords + int(acc % h.bucket))
+                    self._push_bucket(rows, int(acc % h.bucket))
         return rows, hashes
 
     def predict(self, text: str, k: int = 1) -> list[tuple[str, float]]:
-        """Top-k (label, probability), softmax over the output matrix."""
+        """Top-k (label, probability): softmax over the output matrix,
+        or — for hs models — the product of branch sigmoids along each
+        label's Huffman path (exact per-label probabilities; at langid
+        label counts the full walk is cheaper than the pruned DFS the
+        C++ uses for k<<osz, and has no threshold approximation)."""
         import numpy as np
 
         rows, _ = self._line_rows(text)
         if not rows:
             return []
         hidden = self.input[rows].mean(axis=0).astype(np.float32)
-        logits = self.output @ hidden
-        z = logits - logits.max()
-        e = np.exp(z, dtype=np.float64)
-        probs = e / e.sum()
+        if self._hs is not None:
+            parent, binary = self._hs
+            osz = len(self.labels)
+            # one sigmoid per internal node, shared by all paths
+            f = 1.0 / (1.0 + np.exp(-(self.output @ hidden),
+                                    dtype=np.float64))
+            logp = np.zeros(osz)
+            for leaf in range(osz):
+                node, acc = leaf, 0.0
+                while parent[node] != -1:
+                    p = parent[node]
+                    fr = f[p - osz]
+                    acc += np.log(fr if binary[node] else 1.0 - fr)
+                    node = p
+                logp[leaf] = acc
+            probs = np.exp(logp)
+        else:
+            logits = self.output @ hidden
+            z = logits - logits.max()
+            e = np.exp(z, dtype=np.float64)
+            probs = e / e.sum()
         order = np.argsort(-probs, kind="stable")[:k]
         return [(self.labels[i], float(probs[i])) for i in order]
 
@@ -458,8 +537,11 @@ def load_fasttext(path: str) -> FastTextModel:
     (decoded to dense via :func:`_read_quant_matrix`). Layout per
     ``FastText::saveModel`` / ``Dictionary::save`` /
     ``DenseMatrix::save`` / ``QuantMatrix::save`` in the public
-    fastText source. Dictionary pruning (quantize ``-cutoff``) is not
-    supported — lid.176.ftz ships unpruned."""
+    fastText source. Pruned dictionaries (quantize ``-cutoff``) are
+    supported: the pruneidx pairs after the entries remap bucket-hash
+    ids to compact input-matrix rows (``Dictionary::pushHash``).
+    Unpruned models serialize pruneidx_size as -1 (0 would mean 'every
+    bucket pruned away', which quantize never produces)."""
     import numpy as np
 
     header = read_fasttext_header(path)
@@ -469,6 +551,7 @@ def load_fasttext(path: str) -> FastTextModel:
         _ntokens, prune_n = struct.unpack("<2q", f.read(16))
         words: list[str] = []
         types: list[int] = []
+        counts: list[int] = []
         for _ in range(size):
             buf = bytearray()
             while True:
@@ -476,14 +559,16 @@ def load_fasttext(path: str) -> FastTextModel:
                 if not c or c == b"\x00":
                     break
                 buf.extend(c)
-            _count, etype = struct.unpack("<qb", f.read(9))
+            count, etype = struct.unpack("<qb", f.read(9))
             words.append(buf.decode("utf-8"))
             types.append(etype)
+            counts.append(count)
+        pruneidx: dict[int, int] | None = None
         if prune_n > 0:
-            raise NotImplementedError(
-                "pruned dictionary (quantize -cutoff): input-row ids "
-                "would need pruneidx remapping; lid.176.ftz is unpruned"
-            )
+            pruneidx = {}
+            for _ in range(prune_n):
+                old, new = struct.unpack("<2i", f.read(8))
+                pruneidx[old] = new
         (quant_input,) = struct.unpack("<?", f.read(1))
         if quant_input:
             input_mat = _read_quant_matrix(f)
@@ -500,7 +585,8 @@ def load_fasttext(path: str) -> FastTextModel:
         sum(1 for t in types if t == 1) != nlabels
     ):
         raise ValueError("dictionary word/label counts disagree with header")
-    return FastTextModel(header, words, types, input_mat, output_mat)
+    return FastTextModel(header, words, types, input_mat, output_mat,
+                         counts=counts, pruneidx=pruneidx)
 
 
 _FT_SINGLETON: FastTextModel | None = None

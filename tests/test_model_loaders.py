@@ -188,9 +188,12 @@ def test_arpa_zero_count_higher_order_ignored(tmp_path):
 
 
 def _write_ft_bin(path, words, labels, input_mat, output_mat, *,
-                  dim, bucket=0, minn=0, maxn=0, word_ngrams=1, loss=3):
+                  dim, bucket=0, minn=0, maxn=0, word_ngrams=1, loss=3,
+                  label_counts=None, pruneidx=None):
     """Synthesize an unquantized supervised .bin in the exact layout of
-    FastText::saveModel (public format; see model_loaders.load_fasttext)."""
+    FastText::saveModel (public format; see model_loaders.load_fasttext).
+    ``pruneidx`` (dict old_bucket_id -> compact_row) serializes the
+    quantize-cutoff pruning pairs after the dictionary entries."""
     import struct
 
     import numpy as np
@@ -203,11 +206,17 @@ def _write_ft_bin(path, words, labels, input_mat, output_mat, *,
         f.write(struct.pack("<d", 1e-4))
         size = len(words) + len(labels)
         f.write(struct.pack("<3i", size, len(words), len(labels)))
-        f.write(struct.pack("<2q", 1000, 0))  # ntokens, pruneidx_size
+        f.write(struct.pack(
+            "<2q", 1000, len(pruneidx) if pruneidx is not None else -1
+        ))  # ntokens, pruneidx_size (-1 = unpruned, as fastText writes)
         for w in words:
             f.write(w.encode("utf-8") + b"\x00" + struct.pack("<qb", 10, 0))
-        for la in labels:
-            f.write(la.encode("utf-8") + b"\x00" + struct.pack("<qb", 5, 1))
+        for i, la in enumerate(labels):
+            c = label_counts[i] if label_counts else 5
+            f.write(la.encode("utf-8") + b"\x00" + struct.pack("<qb", c, 1))
+        if pruneidx is not None:
+            for old, newi in pruneidx.items():
+                f.write(struct.pack("<2i", old, newi))
         f.write(struct.pack("<?", False))
         im = np.asarray(input_mat, dtype="<f4")
         f.write(struct.pack("<2q", *im.shape))
@@ -530,21 +539,125 @@ def test_fasttext_quantized_seam(tmp_path, monkeypatch):
     mlm._FT_SINGLETON_PATH = None
 
 
-def test_fasttext_pruned_dictionary_rejected(tmp_path):
-    import struct
-
+def test_fasttext_pruned_equals_unpruned_twin(tmp_path):
+    """quantize -cutoff pruning: a pruned model whose pruneidx keeps
+    every bucket id the test vocabulary actually hashes to must predict
+    EXACTLY like its unpruned twin — the compact input rows are the
+    same vectors, reached through the pruneidx remap."""
     import numpy as np
 
-    p = tmp_path / "pruned.ftz"
-    with open(p, "wb") as f:
-        f.write(struct.pack("<ii", ml.FASTTEXT_MAGIC, 12))
-        f.write(struct.pack("<12i", 2, 5, 5, 1, 5, 1, 3, 3, 0, 0, 0, 100))
-        f.write(struct.pack("<d", 1e-4))
-        f.write(struct.pack("<3i", 1, 1, 0))
-        f.write(struct.pack("<2q", 10, 2))  # pruneidx_size = 2
-        f.write(b"a\x00" + struct.pack("<qb", 10, 0))
-        f.write(struct.pack("<2i", 0, 0) + struct.pack("<2i", 1, 1))
-    with pytest.raises(NotImplementedError, match="pruned"):
+    rng = np.random.RandomState(42)
+    words = ["alpha", "beta", "gamma"]
+    labels = ["__label__x", "__label__y"]
+    dim, bucket, minn, maxn = 4, 64, 2, 3
+    nwords = len(words)
+    full_input = rng.randn(nwords + bucket, dim).astype("<f4")
+    output = rng.randn(len(labels), dim).astype("<f4")
+
+    up = tmp_path / "unpruned.bin"
+    _write_ft_bin(up, words, labels, full_input, output,
+                  dim=dim, bucket=bucket, minn=minn, maxn=maxn)
+    m_full = ml.load_fasttext(str(up))
+
+    # bucket ids the vocab uses — EOS is OOV in this tiny dictionary,
+    # so its subword hashes are part of every line and must be kept too
+    used = sorted({
+        h for w in words + [ml._FT_EOS]
+        for h in ml._ft_subword_hashes(w, minn, maxn, bucket)
+    })
+    pruneidx = {h: j for j, h in enumerate(used)}
+    pruned_input = np.vstack(
+        [full_input[:nwords]] + [full_input[nwords + h] for h in used]
+    ).astype("<f4")
+    pp = tmp_path / "pruned.ftz"
+    _write_ft_bin(pp, words, labels, pruned_input, output,
+                  dim=dim, bucket=bucket, minn=minn, maxn=maxn,
+                  pruneidx=pruneidx)
+    m_pruned = ml.load_fasttext(str(pp))
+    assert m_pruned.pruneidx == pruneidx
+
+    for text in ("alpha beta", "gamma", "alpha beta gamma alpha"):
+        a = m_full.predict(text, k=2)
+        b = m_pruned.predict(text, k=2)
+        assert a == b, (text, a, b)
+
+    # a bucket id NOT in the map contributes nothing: an OOV token all
+    # of whose subword hashes were pruned away leaves only EOS rows
+    missing = next(h for h in range(bucket) if h not in pruneidx)
+    assert m_pruned.pruneidx.get(missing) is None
+
+
+def test_fasttext_pruned_oov_drops_missing_buckets(tmp_path):
+    """An OOV token whose subword buckets were all pruned away must
+    predict exactly like the empty-ish line (word rows only) — the
+    pushHash drop path, not an IndexError into the compact matrix."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    words = ["aa"]
+    labels = ["__label__x", "__label__y"]
+    dim, bucket = 3, 32
+    inp = rng.randn(1 + 1, dim).astype("<f4")  # word row + ONE kept row
+    output = rng.randn(2, dim).astype("<f4")
+    keep = ml._ft_subword_hashes("aa", 2, 3, bucket)[0]
+    p = tmp_path / "p.ftz"
+    _write_ft_bin(p, words, labels, inp, output, dim=dim, bucket=bucket,
+                  minn=2, maxn=3, pruneidx={keep: 0})
+    m = ml.load_fasttext(str(p))
+    # "zz..." hashes to buckets outside the map -> only EOS word row? no:
+    # EOS is OOV here too (not in dictionary) and has no subwords, so
+    # the line reduces to whatever in-dictionary rows remain
+    rows, _ = m._line_rows("zzzzqqqq")
+    assert all(r < 1 + 1 for r in rows)  # never past the compact matrix
+
+
+def test_fasttext_hs_prediction_matches_hand_tree(tmp_path):
+    """Hierarchical softmax (loss=1): 3 labels with counts (5,3,2)
+    build the Huffman tree {root=4: [internal 3: [leaf2, leaf1], leaf0]}
+    (Model::buildTree order); per-label probabilities are the sigmoid
+    branch products, computed by hand here, and must sum to 1."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    words = ["hello", "world"]
+    labels = ["__label__a", "__label__b", "__label__c"]
+    dim = 4
+    inp = rng.randn(len(words), dim).astype("<f4")
+    # hs output matrix: n_labels - 1 internal-node rows
+    output = rng.randn(len(labels) - 1, dim).astype("<f4")
+    p = tmp_path / "hs.bin"
+    _write_ft_bin(p, words, labels, inp, output, dim=dim, loss=1,
+                  label_counts=[5, 3, 2])
+    m = ml.load_fasttext(str(p))
+
+    got = dict(m.predict("hello world", k=3))
+    # hand computation: hidden = mean(word rows); EOS is OOV (no row)
+    hidden = inp[:2].mean(axis=0)
+    s0 = 1 / (1 + np.exp(-float(output[0] @ hidden)))  # internal node 3
+    s1 = 1 / (1 + np.exp(-float(output[1] @ hidden)))  # root node 4
+    expect = {
+        "__label__a": s1,                 # leaf0 is root's RIGHT child
+        "__label__b": s0 * (1 - s1),      # right of node3, left of root
+        "__label__c": (1 - s0) * (1 - s1),
+    }
+    assert got.keys() == expect.keys() or set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-6, (k, got[k], v)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_fasttext_hs_output_rows_validated(tmp_path):
+    """An hs model whose output matrix is not (n_labels-1, dim) must be
+    rejected loudly (a softmax-shaped matrix silently misindexes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    p = tmp_path / "bad_hs.bin"
+    _write_ft_bin(p, ["w"], ["__label__a", "__label__b", "__label__c"],
+                  rng.randn(1, 3).astype("<f4"),
+                  rng.randn(3, 3).astype("<f4"),  # 3 rows, hs needs 2
+                  dim=3, loss=1)
+    with pytest.raises(ValueError, match="hs output matrix"):
         ml.load_fasttext(str(p))
 
 
