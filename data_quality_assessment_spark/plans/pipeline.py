@@ -240,7 +240,9 @@ def run_pipeline(
     return verdict(scrub(df), cfg)
 
 
-def host_cadence(pages: DataFrame) -> DataFrame:
+def host_cadence(
+    pages: DataFrame, hot_threshold: int | None = None
+) -> DataFrame:
     """Per-host crawl-cadence stats over warc_ts (north_star: the
     reference's IAT regularity/outlier math per url-host group).
 
@@ -260,6 +262,15 @@ def host_cadence(pages: DataFrame) -> DataFrame:
     the partitioning. ONE exchange total, pinned by
     tests/test_plan_shape.py — vs four shuffles of the same rows when
     regularity_score / outlier_score each recompute their own mode.
+
+    The ONE-exchange window plan has a skew ceiling: window aggregates
+    have no map-side collapse, so a mega-host (one host holding half
+    the crawl) lands on a single task. ``hot_threshold`` routes hosts
+    with more than that many pages through
+    :func:`host_cadence_salted` — the aggregation-shaped twin whose
+    every big-table operator partial-aggregates or bucket-partitions —
+    and unions the results; None (default, the oracle-checked path)
+    keeps the single-plan shape.
     """
     from pyspark.sql import Window
 
@@ -269,6 +280,24 @@ def host_cadence(pages: DataFrame) -> DataFrame:
     d = pages.select(
         ts.host_of(F.col("url")).alias("host"), F.col("warc_ts")
     ).filter(F.col("warc_ts").isNotNull())
+    if hot_threshold is not None:
+        from ..operators.skew import hot_keys
+
+        hot = hot_keys(d, "host", hot_threshold).select("host")
+        cold = d.join(hot, "host", "left_anti")
+        hotrows = d.join(hot, "host", "left_semi")
+        return _host_cadence_fused(cold).unionByName(
+            _host_cadence_agg(hotrows)
+        )
+    return _host_cadence_fused(d)
+
+
+def _host_cadence_fused(d: DataFrame) -> DataFrame:
+    """The one-exchange window plan over pre-projected (host, warc_ts)."""
+    from pyspark.sql import Window
+
+    from ..operators import cadence
+
     iat = cadence.with_iat(d, "host", "warc_ts")
 
     w_hi = Window.partitionBy("host", "iat")
@@ -317,6 +346,133 @@ def host_cadence(pages: DataFrame) -> DataFrame:
         F.sum(clean.cast("long")).alias("_nclean"),
     )
     return agg.select(
+        "host",
+        "n_pages",
+        F.when(
+            F.col("_m").isNotNull() & (F.col("_m") != 0),
+            F.round(F.col("_good") / (F.col("_cntr") + F.col("_bad")), 6),
+        ).alias("reg_score"),
+        F.when(
+            F.col("_nclean") > 0,
+            F.round(1 - F.col("_nout") / F.col("_nclean"), 6),
+        ).alias("out_score"),
+    )
+
+
+def host_cadence_salted(
+    pages: DataFrame, ts_bucket_sec: int = 86400
+) -> DataFrame:
+    """Skew-safe twin of :func:`host_cadence` (identical rows, pinned by
+    tests): survives one mega-host owning half the corpus."""
+    from ..functions import textstats as ts
+
+    d = pages.select(
+        ts.host_of(F.col("url")).alias("host"), F.col("warc_ts")
+    ).filter(F.col("warc_ts").isNotNull())
+    return _host_cadence_agg(d, ts_bucket_sec)
+
+
+def _host_cadence_agg(d: DataFrame, ts_bucket_sec: int = 86400) -> DataFrame:
+    """host_cadence over pre-projected (host, warc_ts) with NO
+    host-wide single-task stage (the two-stage-salted-aggregate shape
+    the skew module documents, specialized to cadence):
+
+      * the IAT lag windows on (host, time-bucket) — a mega-host's rows
+        spread over its crawl-duration/bucket buckets; bucket-boundary
+        rows diff against the previous bucket's max via a per-bucket
+        bounds table (rows per host = #buckets, tiny);
+      * mode: groupBy(host, iat) counts (map-side partial) then a
+        per-distinct-iat reduction;
+      * MAD: exact weighted median over the (host, |iat-mode|)
+        frequency table — cumulative-count interpolation identical to
+        ``F.percentile(.., 0.5)`` — windows only over collapsed
+        frequency rows;
+      * regularity / outlier sums: join mode+mad back (AQE skew-split
+        or auto-broadcast; the stats table is one row per host) and
+        partial-aggregate.
+
+    Every big-table stage either partial-aggregates map-side or
+    partitions on (host, bucket); only per-host-small tables see
+    host-wide windows."""
+    from pyspark.sql import Window
+
+    width = F.lit(int(ts_bucket_sec) * 1_000_000)
+    micros = F.unix_micros(F.col("warc_ts").cast("timestamp"))
+    b = d.select(
+        "host",
+        micros.alias("_us"),
+        F.floor(micros / width).cast("long").alias("_bkt"),
+    )
+    w_hb = Window.partitionBy("host", "_bkt").orderBy("_us")
+    x = b.withColumn("_prev", F.lag("_us").over(w_hb))
+    bounds = b.groupBy("host", "_bkt").agg(F.max("_us").alias("_last"))
+    w_seq = Window.partitionBy("host").orderBy("_bkt")
+    bounds = bounds.select(
+        "host", "_bkt", F.lag("_last").over(w_seq).alias("_prev_last")
+    )
+    x = x.join(bounds, ["host", "_bkt"])
+    prev = F.coalesce(F.col("_prev"), F.col("_prev_last"))
+    iat_raw = (F.col("_us") - prev) / F.lit(1_000_000.0)
+    rows = x.select(
+        "host", F.when(iat_raw >= 0, iat_raw).alias("iat")
+    )
+
+    npages = d.groupBy("host").agg(F.count(F.lit(1)).alias("n_pages"))
+    clean = rows.filter(F.col("iat").isNotNull())
+    freq = clean.groupBy("host", "iat").agg(F.count(F.lit(1)).alias("_cnt"))
+    mode = freq.groupBy("host").agg(
+        F.min(
+            F.struct((-F.col("_cnt")).alias("nc"), F.col("iat").alias("v"))
+        )["v"].alias("_mode")
+    )
+    # exact weighted median of |iat - mode| (the F.percentile(0.5)
+    # interpolation over the frequency-collapsed rows)
+    fr = freq.join(mode, "host").withColumn(
+        "_dev", F.abs(F.col("iat") - F.col("_mode"))
+    )
+    w_dev = (
+        Window.partitionBy("host").orderBy("_dev")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fr = fr.withColumn("_cum", F.sum("_cnt").over(w_dev)).withColumn(
+        "_tot", F.sum("_cnt").over(Window.partitionBy("host"))
+    )
+    pos = (F.col("_tot") - 1) / 2  # 0-based middle position (double)
+    mad = fr.groupBy("host").agg(
+        F.min(
+            F.when(F.col("_cum") >= F.floor(pos) + 1, F.col("_dev"))
+        ).alias("_lo"),
+        F.min(
+            F.when(F.col("_cum") >= F.ceil(pos) + 1, F.col("_dev"))
+        ).alias("_hi"),
+        (F.first(pos) - F.floor(F.first(pos))).alias("_frac"),
+    ).select(
+        "host",
+        (F.col("_lo")
+         + (F.col("_hi") - F.col("_lo")) * F.col("_frac")).alias("_mad"),
+    )
+    stats = mode.join(mad, "host")
+
+    j = clean.join(stats, "host")
+    rae = F.try_divide(F.abs(F.col("iat") - F.col("_mode")), F.col("_mode"))
+    modz = F.try_divide(
+        0.6745 * (F.col("iat") - F.col("_mode")), F.col("_mad")
+    )
+    is_out = F.when((F.col("_mad") > 0) & (modz > 3.5), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    agg = j.groupBy("host").agg(
+        F.first("_mode").alias("_m"),
+        F.sum(F.when((F.col("_mode") != 0) & (rae <= 0.5),
+                     1 - 2 * rae).otherwise(F.lit(0.0))).alias("_good"),
+        F.sum(F.when((F.col("_mode") != 0) & (rae <= 0.5),
+                     F.lit(1.0)).otherwise(F.lit(0.0))).alias("_cntr"),
+        F.sum(F.when((F.col("_mode") != 0) & (rae > 0.5),
+                     2 * rae).otherwise(F.lit(0.0))).alias("_bad"),
+        F.sum(is_out).alias("_nout"),
+        F.count(F.lit(1)).alias("_nclean"),
+    )
+    return npages.join(agg, "host", "left").select(
         "host",
         "n_pages",
         F.when(

