@@ -325,3 +325,324 @@ def test_decode_block_raises_on_ac_run_past_block():
     br = J._BitReader(bytes(12), 0)
     with pytest.raises(ValueError):
         J._decode_block(br, dc, ac, 0, np.ones(64))
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) encoder for fixtures — spectral selection +
+# successive approximation, per T.81 G.2 (test-only; the decoder under
+# test lives in functions/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def _prog_dc_first(bw, zzs, al, dc_enc):
+    """zzs yields (ci, zigzag-block); DC prediction is PER COMPONENT."""
+    preds = {}
+    for ci, zz in zzs:
+        v = int(zz[0]) >> al  # DC point transform: arithmetic shift
+        diff = v - preds.get(ci, 0)
+        preds[ci] = v
+        t = _cat(diff)
+        ln, code = dc_enc[t]
+        bw.put(code, ln)
+        if t:
+            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _prog_dc_refine(bw, zzs, al):
+    for _ci, zz in zzs:
+        bw.put((int(zz[0]) >> al) & 1, 1)
+
+
+def _prog_ac_first(bw, zzs, ss, se, al, ac_enc):
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ln, code = ac_enc[r << 4]
+            bw.put(code, ln)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in zzs:
+        # AC point transform: integer division toward zero
+        vals = {}
+        for k in range(ss, se + 1):
+            c = int(zz[k])
+            v = (abs(c) >> al) * (1 if c >= 0 else -1)
+            if v:
+                vals[k] = v
+        if not vals:
+            eobrun += 1
+            continue
+        flush()
+        last = max(vals)
+        run = 0
+        for k in range(ss, last + 1):
+            v = vals.get(k)
+            if v is None:
+                run += 1
+                continue
+            while run >= 16:
+                ln, code = ac_enc[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            s = _cat(v)
+            ln, code = ac_enc[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < se:
+            eobrun += 1
+    flush()
+
+
+def _prog_ac_refine(bw, zzs, ss, se, al, ac_enc):
+    """Refinement scan, EOB flushed per block (eobrun accumulation is
+    exercised by the first-scan encoder; the decoder tail path is the
+    same code for any eobrun)."""
+    for zz in zzs:
+        t = {k: abs(int(zz[k])) >> al for k in range(ss, se + 1)}
+        eob = -1
+        for k in range(ss, se + 1):
+            if t[k] == 1:
+                eob = k
+        run = 0
+        corr: list[int] = []
+        for k in range(ss, eob + 1):
+            if t[k] == 0:
+                run += 1
+                continue
+            # ZRLs must be emitted at ANY nonzero coefficient once the
+            # zero-history run exceeds 15 (not only at newly-significant
+            # ones) — the decoder's walk consumes 16 zero-history slots
+            # per ZRL regardless of what interrupts the run
+            while run > 15:
+                ln, code = ac_enc[0xF0]
+                bw.put(code, ln)
+                run -= 16
+                for b in corr:
+                    bw.put(b, 1)
+                corr = []
+            if t[k] > 1:
+                corr.append(t[k] & 1)
+                continue
+            ln, code = ac_enc[(run << 4) | 1]
+            bw.put(code, ln)
+            run = 0
+            bw.put(1 if int(zz[k]) > 0 else 0, 1)
+            for b in corr:
+                bw.put(b, 1)
+            corr = []
+        tail = [t[k] & 1
+                for k in range(max(eob + 1, ss), se + 1) if t[k] != 0]
+        if eob < se or corr:
+            ln, code = ac_enc[0x00]  # EOB (run 1)
+            bw.put(code, ln)
+            for b in corr + tail:
+                bw.put(b, 1)
+
+
+def encode_progressive_jpeg(h, w, comps, qts, blocks):
+    """Progressive (SOF2) twin of ``encode_jpeg``: same quantized
+    coefficients, standard schedule — interleaved DC first (Al=1), DC
+    refine, then per-component AC bands 1-5 and 6-63 at Al=1 with
+    refinement scans to Al=0."""
+    out = bytearray(b"\xff\xd8")
+    for tid, q in qts.items():
+        zzq = np.asarray(q).reshape(64)[J.ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65)
+        out += bytes([tid]) + bytes(int(x) for x in zzq)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w,
+                                     len(comps))
+    for c in comps:
+        out += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    dc_counts, dc_syms, dc_enc = _tables(DC_SYMS)
+    ac_counts, ac_syms, ac_enc = _tables(AC_SYMS)
+    for cls, (counts, syms) in ((0, (dc_counts, dc_syms)),
+                                (1, (ac_counts, ac_syms))):
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(syms))
+        out += bytes([cls << 4]) + bytes(counts) + bytes(syms)
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def zz_of(ci, brow, bcol):
+        return np.asarray(blocks[ci][(brow, bcol)]).reshape(64)[J.ZIGZAG]
+
+    def mcu_order_dc():
+        """Interleaved order: every component's blocks per MCU."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, c in enumerate(comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            yield ci, zz_of(ci, my * c["v"] + by,
+                                            mx * c["h"] + bx)
+
+    def comp_order(ci):
+        c = comps[ci]
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield zz_of(ci, by, bx)
+
+    def sos(comp_list, ss, se, ah, al, body_fn):
+        nonlocal out
+        out += b"\xff\xda" + struct.pack(
+            ">HB", 6 + 2 * len(comp_list), len(comp_list))
+        for ci in comp_list:
+            out += bytes([comps[ci]["id"], 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
+        bw = _BitWriter()
+        body_fn(bw)
+        bw.align()
+        out += bw.out
+
+    # DC first (interleaved when multi-component), then refine
+    if len(comps) > 1:
+        sos(list(range(len(comps))), 0, 0, 0, 1,
+            lambda bw: _prog_dc_first(bw, mcu_order_dc(), 1, dc_enc))
+    else:
+        sos([0], 0, 0, 0, 1,
+            lambda bw: _prog_dc_first(
+                bw, ((0, z) for z in comp_order(0)), 1, dc_enc))
+    # AC bands, first pass at Al=1 (per component, as the spec requires)
+    for ci in range(len(comps)):
+        sos([ci], 1, 5, 0, 1,
+            lambda bw, ci=ci: _prog_ac_first(bw, comp_order(ci), 1, 5, 1,
+                                             ac_enc))
+        sos([ci], 6, 63, 0, 1,
+            lambda bw, ci=ci: _prog_ac_first(bw, comp_order(ci), 6, 63, 1,
+                                             ac_enc))
+    # refinement to full precision
+    if len(comps) > 1:
+        sos(list(range(len(comps))), 0, 0, 1, 0,
+            lambda bw: _prog_dc_refine(bw, mcu_order_dc(), 0))
+    else:
+        sos([0], 0, 0, 1, 0,
+            lambda bw: _prog_dc_refine(
+                bw, ((0, z) for z in comp_order(0)), 0))
+    for ci in range(len(comps)):
+        sos([ci], 1, 5, 1, 0,
+            lambda bw, ci=ci: _prog_ac_refine(bw, comp_order(ci), 1, 5, 0,
+                                              ac_enc))
+        sos([ci], 6, 63, 1, 0,
+            lambda bw, ci=ci: _prog_ac_refine(bw, comp_order(ci), 6, 63, 0,
+                                              ac_enc))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_gray_equals_baseline_twin():
+    """Progressive and baseline files built from the SAME quantized
+    coefficients must decode to identical pixels (the baseline decoder
+    is independently verified against a literal IDCT)."""
+    rng = np.random.RandomState(8)
+    h, w = 24, 32
+    blocks = {}
+    for by in range(3):
+        for bx in range(4):
+            blk = np.zeros((8, 8), int)
+            # sparse coefficients incl. negatives and magnitude 1
+            for _ in range(6):
+                blk[rng.randint(8), rng.randint(8)] = int(
+                    rng.randint(-15, 16))
+            blk[0, 0] = int(rng.randint(-40, 41))
+            blocks[(by, bx)] = blk
+    # two fully-empty-AC blocks to exercise EOBRUN accumulation
+    blocks[(0, 1)] = np.zeros((8, 8), int)
+    blocks[(2, 3)][:, :] = 0
+    comps = [{"id": 1, "h": 1, "v": 1, "tq": 0}]
+    qts = {0: np.ones(64, int)}
+    base = encode_jpeg(h, w, comps, qts, [blocks])
+    prog = encode_progressive_jpeg(h, w, comps, qts, [blocks])
+    a = J.jpeg_pixels(base)
+    b = J.jpeg_pixels(prog)
+    assert a.shape == b.shape == (h, w, 3)
+    assert (a == b).all()
+
+
+def test_progressive_color_interleaved_dc():
+    """3-component 4:4:4 progressive: interleaved DC scans + per-
+    component AC scans decode equal to the baseline twin."""
+    rng = np.random.RandomState(9)
+    h, w = 16, 16
+    all_blocks = []
+    for ci in range(3):
+        blocks = {}
+        for by in range(2):
+            for bx in range(2):
+                blk = np.zeros((8, 8), int)
+                for _ in range(4):
+                    blk[rng.randint(8), rng.randint(8)] = int(
+                        rng.randint(-9, 10))
+                blk[0, 0] = int(rng.randint(-30, 31))
+                blocks[(by, bx)] = blk
+        all_blocks.append(blocks)
+    comps = [{"id": 1, "h": 1, "v": 1, "tq": 0},
+             {"id": 2, "h": 1, "v": 1, "tq": 0},
+             {"id": 3, "h": 1, "v": 1, "tq": 0}]
+    qts = {0: np.ones(64, int)}
+    base = encode_jpeg(h, w, comps, qts, all_blocks)
+    prog = encode_progressive_jpeg(h, w, comps, qts, all_blocks)
+    a = J.jpeg_pixels(base)
+    b = J.jpeg_pixels(prog)
+    assert (a == b).all()
+
+
+def test_progressive_dense_blocks_zrl_refinement():
+    """Blocks with >16-gaps between significant coefficients and dense
+    magnitude-1 values walk the ZRL-in-refinement and newly-significant
+    paths."""
+    h, w = 8, 16
+    b0 = np.zeros((8, 8), int)
+    b0[0, 0] = 17
+    b0.reshape(64)[:] = 0
+    blk = np.zeros(64, int)
+    blk[0] = 17
+    # zigzag positions: sparse far-apart entries force long zero runs
+    blk[J.ZIGZAG[1]] = 1      # magnitude 1: newly significant in refine
+    blk[J.ZIGZAG[40]] = -1
+    blk[J.ZIGZAG[63]] = 3
+    blocks = {(0, 0): blk.reshape(8, 8), (0, 1): np.zeros((8, 8), int)}
+    comps = [{"id": 1, "h": 1, "v": 1, "tq": 0}]
+    qts = {0: np.ones(64, int)}
+    base = encode_jpeg(h, w, comps, qts, [blocks])
+    prog = encode_progressive_jpeg(h, w, comps, qts, [blocks])
+    assert (J.jpeg_pixels(base) == J.jpeg_pixels(prog)).all()
+
+
+def test_progressive_color_420_subsampled():
+    """4:2:0 progressive: chroma components iterate their OWN smaller
+    block grid in single-component scans, and the interleaved DC scan
+    walks 4 Y blocks per MCU. Must equal the baseline twin."""
+    rng = np.random.RandomState(10)
+
+    def rblk(dc_range=30, n=3, lo=-9, hi=10):
+        blk = np.zeros((8, 8), int)
+        for _ in range(n):
+            blk[rng.randint(8), rng.randint(8)] = int(rng.randint(lo, hi))
+        blk[0, 0] = int(rng.randint(-dc_range, dc_range + 1))
+        return blk
+
+    comps = [{"id": 1, "h": 2, "v": 2, "tq": 0},
+             {"id": 2, "h": 1, "v": 1, "tq": 0},
+             {"id": 3, "h": 1, "v": 1, "tq": 0}]
+    blocks = [
+        {(r, c): rblk() for r in range(2) for c in range(2)},
+        {(0, 0): rblk()},
+        {(0, 0): rblk()},
+    ]
+    qts = {0: np.ones(64, int)}
+    base = encode_jpeg(16, 16, comps, qts, blocks)
+    prog = encode_progressive_jpeg(16, 16, comps, qts, blocks)
+    a = J.jpeg_pixels(base)
+    b = J.jpeg_pixels(prog)
+    assert a.shape == b.shape == (16, 16, 3)
+    assert (a == b).all()
