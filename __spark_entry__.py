@@ -2780,7 +2780,18 @@ FROM r
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict order rotates which queries the driver's 50-of-57 sample
+    # covers: the seven rows it skipped in round 4 (the tail of this
+    # dict, incl. the then-new jpeg_pixel_stats) lead in round 5 so
+    # every query accrues a driver-verified correctness row.
     return {
+        "jpeg_pixel_stats": q_jpeg_pixel_stats,
+        "frame_sample": q_frame_sample,
+        "video_metadata": q_video_metadata,
+        "warc_roundtrip": q_warc_roundtrip,
+        "pipeline_verdict": q_pipeline_verdict,
+        "pipeline_scrub": q_pipeline_scrub,
+        "doc_ppl": q_doc_ppl,
         "doc_textstats": q_doc_textstats,
         "doc_quality_rules": q_doc_quality_rules,
         "langid": q_langid,
@@ -2831,13 +2842,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_metadata": q_audio_metadata,
         "audio_features": q_audio_features,
         "image_pixel_stats": q_image_pixel_stats,
-        "jpeg_pixel_stats": q_jpeg_pixel_stats,
-        "frame_sample": q_frame_sample,
-        "video_metadata": q_video_metadata,
-        "warc_roundtrip": q_warc_roundtrip,
-        "pipeline_verdict": q_pipeline_verdict,
-        "pipeline_scrub": q_pipeline_scrub,
-        "doc_ppl": q_doc_ppl,
     }
 
 
