@@ -511,6 +511,12 @@ def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered-position union, char-level excision."""
     from data_quality_assessment_spark.operators import winnow
 
+    d2 = _substring_corpus(spark, sf_dir)
+    res = winnow.exact_substring_removal(d2, "doc_id", "text", fast=False)
+    return res.select("doc_id", "text_clean", "n_removed")
+
+
+def _substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents").filter("doc_id < 120")
     i = F.expr("doc_id div 2").cast("string")
     span = F.repeat(F.concat(F.lit("shared segment "), i, F.lit(" ")), 3)
@@ -520,15 +526,28 @@ def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("repeat('p', cast(doc_id % 7 as int))"), span,
         F.lit(" tailB "), did,
     )
-    d2 = d.select(
+    return d.select(
         "doc_id",
         F.when(F.col("doc_id") % 2 == 0, even).otherwise(odd).alias("text"),
     )
-    res = winnow.exact_substring_removal(d2, "doc_id", "text", fast=False)
+
+
+def q_substring_removal_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_substring_removal with the max_partners fan-in cap ON
+    (top-2 partners per doc by shared-fingerprint count, id_a
+    tiebreak): the oracle mirrors the cap with a row_number QUALIFY
+    over the pair table — confirms the OOM guard picks exactly the
+    specified partners, not merely 'some'."""
+    from data_quality_assessment_spark.operators import winnow
+
+    d2 = _substring_corpus(spark, sf_dir)
+    res = winnow.exact_substring_removal(
+        d2, "doc_id", "text", fast=False, max_partners=2
+    )
     return res.select("doc_id", "text_clean", "n_removed")
 
 
-def _oracle_substring_removal() -> str:
+def _oracle_substring_removal(max_partners: int | None = None) -> str:
     from data_quality_assessment_spark.operators.winnow import (
         DEFAULT_K, DEFAULT_W,
     )
@@ -536,6 +555,26 @@ def _oracle_substring_removal() -> str:
     k, w = DEFAULT_K, DEFAULT_W
     run_min = 30 - k + 1  # default min_len = 30
     h = _SQL_H64.format(x=f"substr(txt, gs.p, {k})")
+    if max_partners is None:
+        pairs_cte = """pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+)"""
+    else:
+        # mirror the top-N-partners-per-id_b cap: n_shared desc, id_a
+        # asc — the same deterministic order the Spark window uses
+        pairs_cte = f"""pairs0 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, row_number() OVER (
+      PARTITION BY id_b ORDER BY n_shared DESC, id_a ASC) AS rn
+    FROM pairs0
+  ) WHERE rn <= {max_partners}
+)"""
     return f"""
 WITH base AS (
   SELECT doc_id, doc_id // 2 AS i FROM documents WHERE doc_id < 120
@@ -564,10 +603,7 @@ mw AS (
   FROM g
 ),
 f AS (SELECT DISTINCT doc_id, wmin AS fp FROM mw WHERE p <= ng - {w - 1}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
-),
+{pairs_cte},
 hits AS (
   SELECT DISTINCT pr.id_a, pr.id_b, gb.p
   FROM pairs pr
@@ -897,6 +933,66 @@ o AS (
 )
 SELECT n.host, n.n_pages, r.reg_score, o.out_score
 FROM n LEFT JOIN r ON n.host = r.host LEFT JOIN o ON n.host = o.host
+"""
+
+
+def q_host_cadence_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe twin of host_cadence
+    (plans/pipeline.host_cadence_salted): the aggregation-shaped plan —
+    (host, time-bucket) lag windows, partial-agg mode, weighted-median
+    MAD — must produce IDENTICAL rows, so it is checked against the
+    SAME oracle SQL. Bucket width 600s splits the fixture's ~N-second
+    host timelines into many buckets, exercising the boundary-diff
+    path."""
+    pages = _pages(spark, sf_dir)
+    return pipeline.host_cadence_salted(pages, ts_bucket_sec=600)
+
+
+def q_winnow_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """winnow_pairs with the max_df hot-fingerprint cap ON (md5 oracle
+    family): fingerprints shared by more than 25 docs are dropped
+    before the self-join — the oracle mirrors the cap with a HAVING on
+    fingerprint document frequency. Confirms the skew guard changes
+    results exactly as specified, not just bounds work."""
+    from data_quality_assessment_spark.operators import winnow
+
+    d = _load(spark, sf_dir, "documents")
+    return winnow.winnow_pairs(
+        d, "doc_id", "text", min_shared=4, fast=False, max_df=25
+    )
+
+
+def _oracle_winnow_pairs_capped() -> str:
+    from data_quality_assessment_spark.operators.winnow import (
+        DEFAULT_K, DEFAULT_W,
+    )
+
+    k, w = DEFAULT_K, DEFAULT_W
+    h = _SQL_H64.format(x=f"substr(txt, i, {k})")
+    return f"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN length(txt) >= {k}
+      THEN list_transform(generate_series(1, length(txt) - {k - 1}),
+                          i -> {h})
+      ELSE []::BIGINT[] END AS hh
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len(hh) >= {w}
+      THEN list_transform(generate_series(1, len(hh) - {w - 1}),
+                          i -> list_min(hh[i:i+{w - 1}]))
+      ELSE []::BIGINT[] END AS mins
+  FROM g
+),
+f AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m),
+keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 25),
+f2 AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 4
 """
 
 
@@ -2181,7 +2277,10 @@ def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     image_pixel_stats extractor. DC-only blocks make the decoded image
     uniform at clip(round(dc/8) + 128), so the oracle re-derives the
     means in closed form — an end-to-end proof the entropy decode +
-    IDCT path is real."""
+    IDCT path is real. Odd doc_ids carry the PROGRESSIVE (SOF2) twin
+    fixture — two scans, DC first at Al=1 + refinement bit — so the
+    driver row also verifies the multi-scan successive-approximation
+    path against the same closed form."""
     from data_quality_assessment_spark.functions import multimodal as mmod
     from data_quality_assessment_spark.functions.jpeg import jpeg_pixels  # noqa: F401 — decoder under test
 
@@ -2193,6 +2292,7 @@ def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def make_blobs(batches):
         from data_quality_assessment_spark.functions.jpeg import (
             encode_dc_jpeg,
+            encode_dc_progressive,
         )
 
         for b in batches:
@@ -2202,8 +2302,9 @@ def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # dc a multiple of 8: the uniform sample dc/8 + 128 is an
                 # integer, so no round-half-even vs half-away divergence
                 dc = (did % 24 - 12) * 8
+                enc = encode_dc_progressive if did % 2 else encode_dc_jpeg
                 rows.append(
-                    (did, "image", encode_dc_jpeg(8, 8, dc), "image/jpeg")
+                    (did, "image", enc(8, 8, dc), "image/jpeg")
                 )
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "blob", "mime"]
@@ -2792,6 +2893,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_verdict": q_pipeline_verdict,
         "pipeline_scrub": q_pipeline_scrub,
         "doc_ppl": q_doc_ppl,
+        # round-5 additions, placed inside the sampled window
+        "host_cadence_salted": q_host_cadence_salted,
+        "winnow_pairs_capped": q_winnow_pairs_capped,
+        "substring_removal_capped": q_substring_removal_capped,
         "doc_textstats": q_doc_textstats,
         "doc_quality_rules": q_doc_quality_rules,
         "langid": q_langid,
@@ -2867,6 +2972,9 @@ def oracle_sql() -> dict[str, str]:
         "iat_outliers": ORACLE_IAT_OUT,
         "iat_outage": ORACLE_IAT_OUTAGE,
         "host_cadence": ORACLE_HOST_CADENCE,
+        "host_cadence_salted": ORACLE_HOST_CADENCE,  # identical rows
+        "winnow_pairs_capped": _oracle_winnow_pairs_capped(),
+        "substring_removal_capped": _oracle_substring_removal(max_partners=2),
         "iat_regularity_old": ORACLE_IAT_REG_OLD,
         "cadence_pandas": ORACLE_CADENCE_PANDAS,
         "cosine_near_dup": ORACLE_COSINE_NEAR_DUP,

@@ -631,22 +631,22 @@ def run_pipeline_cluster_once(
         extra_conf={
             "spark.executor.cores": "8",
             "spark.cores.max": str(total_cores),
-            # CRITICAL for multi-JVM-per-host: an executor JVM sizes its
-            # GC worker / JIT compiler / netty pools by HOST cores (32),
-            # so four executors spawn ~4x23 GC threads + 4 compiler
-            # pools onto 32 cores and thrash (measured: stage-5 JVM CPU
-            # 66s -> 1176s, GC 2.5s -> 336s, the entire r4 "GC storm").
-            # Real clusters get this from the container cgroup; a
-            # standalone worker on a shared host must pin it.
-            "spark.executor.extraJavaOptions":
-                "-XX:ActiveProcessorCount=8",
-            # 22g per executor, NOT a "safe" 10g: at 10g the 8-task
-            # executors GC-storm on this workload (measured: stage-5
-            # task-attributed GC 686s vs 21s in local mode, 2-6x wall)
-            # — 4 x 22g + 16g driver + ~10g python workers fits the
-            # 125g host with headroom
+            # ParallelGC, not the G1 default: the round-5 GC matrix
+            # (4x8 executors, identical runs) measured G1 at 63-94s
+            # walls with 80-280s GC and 3-8x task CPU — G1's write
+            # barriers + concurrent refinement storm on this workload's
+            # large short-lived Arrow allocations across 4 JVMs — vs
+            # ParallelGC 25.8-37.4s walls with 5-12s GC. local mode
+            # (one JVM) never showed the G1 pathology.
+            "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
+            # 16g per executor: enough for 8 tasks of Arrow batches
+            # (local mode runs 32 tasks in one 16g JVM), half the
+            # 4-JVM resident footprint of the old 22g, and measurably
+            # more stable under this shared host's memory-bandwidth
+            # noise waves; 10g G1 executors storm (r4: task GC 686s vs
+            # 21s local) but that was a G1 artifact — see the GC note
             "spark.executor.memory": os.environ.get(
-                "SPARK_GRAFT_EXEC_MEM", "22g"
+                "SPARK_GRAFT_EXEC_MEM", "16g"
             ),
             # executors must run THIS interpreter, not whatever python3
             # is on the worker daemon's PATH
@@ -686,16 +686,25 @@ def run_pipeline_cluster_once(
         pages_out(run_pipeline(df, DEFAULT_CONFIG)).write.mode(
             "overwrite"
         ).parquet(out_dir)
-        warm_stages = {s["stage"] for s in _stage_metrics(spark, top_n=100)}
-        t0 = time.time()
-        pages_out(run_pipeline(df, DEFAULT_CONFIG)).write.mode(
-            "overwrite"
-        ).parquet(out_dir)
-        wall = time.time() - t0
-        timed = [s for s in _stage_metrics(spark, top_n=100)
-                 if s["stage"] not in warm_stages]
-        timed.sort(key=lambda s: s["run_s"], reverse=True)
-        print("BENCH_STAGES " + json.dumps(timed[:5]), flush=True)
+        # two timed passes, min: this host's contention waves last
+        # minutes and can poison any single pass (measured 25.8-94s for
+        # identical runs); back-to-back passes in the warm app cost
+        # ~wall each and bound the damage
+        wall = float("inf")
+        best_stages: list[dict] = []
+        for _ in range(2):
+            seen = {s["stage"] for s in _stage_metrics(spark, top_n=100)}
+            t0 = time.time()
+            pages_out(run_pipeline(df, DEFAULT_CONFIG)).write.mode(
+                "overwrite"
+            ).parquet(out_dir)
+            w = time.time() - t0
+            timed = [s for s in _stage_metrics(spark, top_n=100)
+                     if s["stage"] not in seen]
+            timed.sort(key=lambda s: s["run_s"], reverse=True)
+            if w < wall:
+                wall, best_stages = w, timed[:5]
+        print("BENCH_STAGES " + json.dumps(best_stages), flush=True)
         return wall
     finally:
         spark.stop()

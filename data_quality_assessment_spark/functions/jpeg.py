@@ -231,6 +231,59 @@ def encode_dc_jpeg(w: int, h: int, dc: int) -> bytes:
     return bytes(out + body + b"\xff\xd9")
 
 
+def _pack_bits(bits: list[tuple[int, int]]) -> bytes:
+    """MSB-first bit packing with 0xFF00 stuffing, 1-padded tail."""
+    acc = nacc = 0
+    body = bytearray()
+    for val, nb in bits:
+        for i in range(nb - 1, -1, -1):
+            acc = (acc << 1) | ((val >> i) & 1)
+            nacc += 1
+            if nacc == 8:
+                body.append(acc)
+                if acc == 0xFF:
+                    body.append(0x00)
+                acc = nacc = 0
+    if nacc:
+        body.append((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1))
+    return bytes(body)
+
+
+def encode_dc_progressive(w: int, h: int, dc: int) -> bytes:
+    """Progressive (SOF2) twin of :func:`encode_dc_jpeg`: the same
+    uniform DC-only grayscale image carried as TWO scans — DC first at
+    Al=1 (diff coding of dc>>1) then the DC refinement scan (one bit
+    per block, bit0 of dc) — so driver-verified fixtures exercise the
+    multi-scan successive-approximation decode path end-to-end with the
+    same closed-form expected pixels clip(round(dc/8) + 128)."""
+    if not -1024 < dc < 1024:
+        raise ValueError("dc out of the 8-bit-precision coefficient range")
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 12)
+    out += bytes([0x00]) + bytes([0] * 7 + [12] + [0] * 8) + bytes(range(12))
+    n_blocks = ((w + 7) // 8) * ((h + 7) // 8)
+    # scan 1: DC first, Ss=Se=0, Ah=0, Al=1
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+    out += bytes([0, 0, 0x01])
+    hi = dc >> 1  # DC point transform is an arithmetic shift
+    bits: list[tuple[int, int]] = []
+    for b in range(n_blocks):
+        diff = hi if b == 0 else 0
+        t = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+        bits.append((t, 8))
+        if t:
+            bits.append((diff if diff >= 0 else diff + (1 << t) - 1, t))
+    out += _pack_bits(bits)
+    # scan 2: DC refinement, Ah=1, Al=0 — one appended bit per block
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+    out += bytes([0, 0, 0x10])
+    out += _pack_bits([(dc & 1, 1)] * n_blocks)
+    return bytes(out + b"\xff\xd9")
+
+
 class _ProgressiveState:
     """Per-component coefficient accumulators for a progressive (SOF2)
     frame: each scan refines a spectral band / bit position of the

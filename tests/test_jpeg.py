@@ -646,3 +646,14 @@ def test_progressive_color_420_subsampled():
     b = J.jpeg_pixels(prog)
     assert a.shape == b.shape == (16, 16, 3)
     assert (a == b).all()
+
+
+def test_encode_dc_progressive_fixture():
+    """The progressive DC-only fixture twin decodes identically to the
+    baseline fixture at every dc, including odd dc (nonzero refinement
+    bit) and multi-block frames."""
+    for dc in (-96, -9, -3, 0, 1, 7, 8, 88, 1016, -1016):
+        a = J.jpeg_pixels(J.encode_dc_jpeg(24, 16, dc))
+        b = J.jpeg_pixels(J.encode_dc_progressive(24, 16, dc))
+        assert (a == b).all(), dc
+        assert (a == np.clip(round(dc / 8) + 128, 0, 255)).all(), dc
