@@ -873,8 +873,8 @@ def main() -> None:
             cl_pair_effs: list[float] = []
             leg_t0 = time.time()
             try:
-                for i in range(2):
-                    if i > 0 and time.time() - leg_t0 > 600:
+                for i in range(3):
+                    if i > 0 and time.time() - leg_t0 > 900:
                         print("cluster leg budget: stopping after 1 pair",
                               file=sys.stderr)
                         break
