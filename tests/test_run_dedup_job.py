@@ -78,3 +78,27 @@ def test_run_dedup_job_with_benchmark(tmp_path):
     assert summary["n_decontaminated"] == 1
     got = pd.read_parquet(out / "docs_clean")
     assert set(got["doc_id"]) == {1, 3}
+
+
+def test_run_dedup_job_skew_guard_flags(tmp_path):
+    """--max-df / --max-partners plumb through to the operators: the job
+    completes with the caps on and still excises the planted span from
+    the lower-priority doc."""
+    span = "the long shared verbatim paragraph that must be excised yes"
+    rows = [(i, f"unique doc {i} words " + span) for i in range(6)]
+    rows.append((50, "victim prefix " + span + " victim suffix"))
+    inp = tmp_path / "docs.parquet"
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(inp)
+    out = tmp_path / "out"
+    res = subprocess.run(
+        [sys.executable, "jobs/run_dedup.py", "--input", str(inp),
+         "--output", str(out), "--master", "local[4]",
+         "--max-df", "50", "--max-partners", "3",
+         "--min-jaccard", "0.95"],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    got = pd.read_parquet(out / "docs_clean").set_index("doc_id")
+    assert 50 in got.index
+    assert span not in got.loc[50, "text_clean"]
+    assert got.loc[50, "n_removed"] >= len(span) - 2
