@@ -996,6 +996,55 @@ GROUP BY 1, 2 HAVING count(*) >= 4
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (operators/sampling.py, md5
+    oracle family): keep-rate by stratum as a pure codegen predicate —
+    no shuffle, stable under any partition layout. The oracle applies
+    the identical md5 unit-interval hash and CASE fractions."""
+    from data_quality_assessment_spark.operators import sampling as sp
+
+    d = _load(spark, sf_dir, "documents")
+    return sp.stratified_sample(
+        d.select("doc_id", "lang"), "doc_id", "lang",
+        {"en": 0.9, "de": 0.1}, default_fraction=0.4, seed=7, fast=False,
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE ({_SQL_H64.format(x="doc_id::VARCHAR || '#s7'")})::DOUBLE
+      / 1152921504606846976.0
+  < CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.1 ELSE 0.4 END
+"""
+
+
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic train/val/test assignment
+    (operators/sampling.split_of, md5 oracle family): disjoint and
+    exhaustive by cumulative thresholds over one unit hash — a
+    document's split never changes across runs or layouts."""
+    from data_quality_assessment_spark.operators import sampling as sp
+
+    d = _load(spark, sf_dir, "documents")
+    return sp.with_split(
+        d.select("doc_id"), "doc_id",
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)], seed=3, fast=False,
+    )
+
+
+ORACLE_DOC_SPLIT = f"""
+SELECT doc_id,
+  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END
+    AS split
+FROM (
+  SELECT doc_id,
+    ({_SQL_H64.format(x="doc_id::VARCHAR || '#s3'")})::DOUBLE
+      / 1152921504606846976.0 AS u
+  FROM documents
+)
+"""
+
+
 def q_iat_outage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _events_iat(spark, sf_dir)
     return cadence.outage_by_entity(d, "user_id")
@@ -2897,6 +2946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cadence_salted": q_host_cadence_salted,
         "winnow_pairs_capped": q_winnow_pairs_capped,
         "substring_removal_capped": q_substring_removal_capped,
+        "stratified_sample": q_stratified_sample,
+        "doc_split": q_doc_split,
         "doc_textstats": q_doc_textstats,
         "doc_quality_rules": q_doc_quality_rules,
         "langid": q_langid,
@@ -2975,6 +3026,8 @@ def oracle_sql() -> dict[str, str]:
         "host_cadence_salted": ORACLE_HOST_CADENCE,  # identical rows
         "winnow_pairs_capped": _oracle_winnow_pairs_capped(),
         "substring_removal_capped": _oracle_substring_removal(max_partners=2),
+        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+        "doc_split": ORACLE_DOC_SPLIT,
         "iat_regularity_old": ORACLE_IAT_REG_OLD,
         "cadence_pandas": ORACLE_CADENCE_PANDAS,
         "cosine_near_dup": ORACLE_COSINE_NEAR_DUP,
