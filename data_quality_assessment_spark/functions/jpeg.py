@@ -58,6 +58,15 @@ _A = np.array([
 ])
 
 
+# decompression-bomb guard shared by the image decoders: a 20-byte
+# crafted header can DECLARE 65535x65535 (or 2^31-square for PNG's u32
+# dims), and allocating planes for the declared size would OOM the
+# executor's Python worker before any "corrupt blob" check fires. 64MP
+# comfortably covers real crawl images; oversize raises ValueError so
+# the extractors emit valid=false rows.
+MAX_DECODE_PIXELS = 64_000_000
+
+
 def idct_block(coeffs: np.ndarray) -> np.ndarray:
     """8x8 dequantized coefficient block -> spatial samples (pre level
     shift)."""
@@ -537,6 +546,10 @@ def jpeg_pixels(blob: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
+            if h * w > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"JPEG declares {w}x{h} — over the decode bomb guard"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .jpeg import MAX_DECODE_PIXELS as _MAX_DECODE_PIXELS
+
 IMG_MAGIC = b"FAKEIMG1"
 AUD_MAGIC = b"FAKEAUD1"
 
@@ -192,9 +194,18 @@ def png_pixels(blob: bytes):
             f"PNG depth={depth} ctype={ctype} interlace={interlace} "
             "unsupported (8-bit gray/RGB/palette/RGBA, no interlace)"
         )
+    if w * h > _MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"PNG declares {w}x{h} — over the decode bomb guard"
+        )
     ch = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
     stride = w * ch
-    raw = memoryview(zlib.decompress(idat))
+    # cap inflation at the size the declared dims need: a zlib bomb in
+    # IDAT must not out-allocate the dimension guard above
+    need = h * (stride + 1)
+    raw = memoryview(
+        zlib.decompressobj().decompress(idat, max(need, 1))
+    )
     out = np.empty((h, stride), np.uint8)
     prev = np.zeros(stride, np.int32)
     p = 0
@@ -309,6 +320,10 @@ def gif_pixels(blob: bytes):
             i += 1
         elif b0 == 0x2C:  # image descriptor
             _ix, _iy, iw, ih = struct.unpack("<4H", blob[i + 1:i + 9])
+            if iw * ih > _MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"GIF declares {iw}x{ih} — over the decode bomb guard"
+                )
             lflags = blob[i + 9]
             i += 10
             table = gct
