@@ -45,9 +45,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # larger Arrow batches amortize the JVM<->Python boundary for the
-        # langid/ppl/scrub UDFs (default 10k rows; text rows are small)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # batch size tuned for the VECTORIZED enrich kernel (r6): its
+        # per-batch numpy/pyarrow transients scale with batch rows, and
+        # at 32 concurrent workers sharing this host's memory system a
+        # 20k-row batch doubles kernel CPU/doc vs <=10k (measured 105 vs
+        # 53 us/doc — LLC/bandwidth saturation against the JVM threads).
+        # 4k rows keeps per-batch transients cache-sized while the
+        # boundary cost stays amortized (flat 1k..10k, guide §4.2).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # throughput batch jobs: ParallelGC measured 2-3x faster than the

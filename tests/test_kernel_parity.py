@@ -97,3 +97,73 @@ def test_kernel_on_fixture_corpus():
         want = _reference_enrich(pdf["html"][i], pdf["text"][i])
         for k, v in want.items():
             assert cols[k][i] == v, (i, k)
+
+
+# ---------------------------------------------------------------------------
+# vectorized fast path vs scalar reference (r6 optimization): the batch
+# path must be BIT-identical to the per-doc loop for arbitrary input
+# ---------------------------------------------------------------------------
+
+
+def _assert_batch_parity(htmls, texts):
+    ref = kernel._enrich_batch_scalar(htmls, texts)
+    fast = kernel._enrich_batch_vector(
+        htmls, texts, get_model()
+    )
+    for k in kernel.ENRICH_COLS:
+        a, b = list(ref[k]), list(fast[k])
+        assert len(a) == len(b)
+        for i, (x, y) in enumerate(zip(a, b)):
+            ok = (x == y) or (x is None and y is None)
+            assert ok, (k, i, x, y, repr(texts[i])[:120])
+
+
+EDGE_TEXTS = [
+    "", " ", "\t\n", "the data page",
+    "a@b.co or 1.2.3.4 and 044-2345678 grokflarp",
+    "GROKFLARP groKflarp",          # Kelvin-sign exotic lowercase
+    "Key the",                      # U+212A token lowering into vocab
+    "Привет мир",
+    "数据质量很好",
+    "line\nline\nline\n  line \n",
+    "a\x1cb line\nline",                 # \x1c: Python isspace, not WSpace
+    "x\x1c\nx\x1c\n",                    # dup lines differing only via strip
+    "the\x0bdata",                       # \x0b is pinned whitespace
+    "word " * 300,
+    "#@{}[]\\$%",
+    "İstanbul STRASSE ſtraße",
+    "9" * 50,
+    "\x1d\x1e\x1f",
+    "mixed Привет the data 数据",
+    None,
+]
+
+
+def test_vector_batch_parity_edges():
+    texts = EDGE_TEXTS * 2  # 40 rows -> well past _VECTOR_MIN_ROWS
+    _assert_batch_parity([None] * len(texts), texts)
+
+
+def test_vector_batch_parity_fixture():
+    from data_quality_assessment_spark.sources.fixture_gen import gen_pages_fast
+
+    pdf = gen_pages_fast(800, seed=31)
+    _assert_batch_parity(list(pdf["html"]), list(pdf["text"]))
+
+
+def test_vector_batch_parity_html_rows():
+    blobs = [
+        b"<html><body>the data</body></html>",
+        b"<html><body>\xff\xfe broken</body></html>",  # invalid utf-8
+        b"",
+        None,
+    ] * 8
+    texts = ["fallback text"] * len(blobs)
+    _assert_batch_parity(blobs, texts)
+
+
+@pytest.mark.skipif(not HAVE_HYP, reason="hypothesis unavailable")
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(max_size=120), min_size=16, max_size=40))
+def test_vector_batch_parity_hypothesis(texts):
+    _assert_batch_parity([None] * len(texts), texts)
