@@ -129,7 +129,7 @@ def _fired_array(rules: list[tuple[str, Column]]) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def annotate(df: DataFrame) -> DataFrame:
+def annotate(df: DataFrame, *, with_host: bool = True) -> DataFrame:
     """The single fused UDF pass. Adds: lang_pred, lang_conf, ppl,
     top_bigram_share, scrubbed_text, PII/slur counts, nw, mean_wl,
     symbol_ratio, stopword_frac, dup_line_frac (all from the ONE
@@ -141,7 +141,13 @@ def annotate(df: DataFrame) -> DataFrame:
 
     The text column is nulled out when html is present (extraction
     precedence means the kernel would ignore it anyway), so page content
-    crosses the JVM->Python boundary once, not twice."""
+    crosses the JVM->Python boundary once, not twice.
+
+    ``with_host=False`` skips the host projection so a caller that
+    shuffles the annotated frame (run_pipeline's dedup exchange) can
+    re-derive host from the url AFTER the exchange instead of shipping
+    a second copy of the hostname through it (guide §2.3: shuffle keys
+    and metadata, not derivable payload)."""
     from ..functions.udfs import enrich_udf
 
     ann = enrich_udf(
@@ -149,7 +155,9 @@ def annotate(df: DataFrame) -> DataFrame:
         F.when(F.col("html").isNull(), F.col("text")),
     )
     df = df.withColumn("_ann", ann).select("*", "_ann.*").drop("_ann")
-    return df.withColumn("host", ts.host_of(F.col("url")))
+    if with_host:
+        df = df.withColumn("host", ts.host_of(F.col("url")))
+    return df
 
 
 def scrub(df: DataFrame) -> DataFrame:
@@ -224,17 +232,27 @@ def run_pipeline(
     """
     if dedup:
         # content tiebreak materialized BEFORE annotate so the window
-        # sort key shuffles as 32 chars instead of dragging `text`
+        # sort key shuffles as 16 bytes instead of dragging `text`
         # through the exchange (D2 determinism, SURVEY.md §2.3); hashes
-        # text AND html so WARC-ingested pages get a real content order
+        # text AND html so WARC-ingested pages get a real content order.
+        # unhex(md5) halves the hex form's shuffle bytes with IDENTICAL
+        # ordering: hex digits 0-9A-F are monotone in ASCII, so the hex
+        # string's lexicographic order equals the raw bytes' unsigned
+        # order — same winner per group (pinned by test_dedup_ops).
+        # host is re-derived from url AFTER the exchange (guide §2.3) —
+        # same rows, ~20 fewer bytes shuffled per row.
         from ..operators.dedup import dedup_exact
 
-        df = annotate(df.withColumn("_tb", content_tiebreak()))
+        df = annotate(
+            df.withColumn("_tb", F.unhex(content_tiebreak())),
+            with_host=False,
+        )
         df = dedup_exact(
             df,
             list(cfg.dedup_keys),
             [F.col("_tb").asc(), F.coalesce(F.col("lang"), F.lit("")).asc()],
         ).drop("_tb")
+        df = df.withColumn("host", ts.host_of(F.col("url")))
     else:
         df = annotate(df)
     return verdict(scrub(df), cfg)

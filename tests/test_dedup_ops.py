@@ -252,3 +252,21 @@ def test_content_tiebreak_field_boundary_unambiguous(spark):
     )
     tbs = [r[0] for r in df.select(content_tiebreak()).collect()]
     assert tbs[0] != tbs[1]
+
+
+def test_unhex_tiebreak_order_equals_hex_order(spark):
+    """run_pipeline shuffles unhex(md5) (16 bytes) instead of the hex
+    string (32 chars) as the dedup sort key (r6). Hex digits 0-9A-F are
+    monotone in ASCII, so hex-string lexicographic order must equal the
+    raw bytes' unsigned order — the winner per dedup group is unchanged.
+    Pin it over many random-ish md5 values."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"doc {i} payload",) for i in range(500)], "text string"
+    )
+    h = df.select(F.md5("text").alias("hex"),
+                  F.unhex(F.md5("text")).alias("bin"))
+    by_hex = [r.hex for r in h.orderBy(F.col("hex").asc()).collect()]
+    by_bin = [r.hex for r in h.orderBy(F.col("bin").asc()).collect()]
+    assert by_hex == by_bin
