@@ -2290,8 +2290,16 @@ def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "blob", "mime"]
             )
 
-    media = d.select("doc_id").mapInPandas(make_blobs, mmod.MEDIA_SCHEMA)
-    return mmod.image_pixel_stats(media)
+    # generator and decoder FUSED into one MapInPandas (r6, guide §4):
+    # blobs are built and decoded inside the same Python worker instead
+    # of round-tripping JVM->Python->JVM->Python; the decode path is the
+    # exact operator body (multimodal.image_pixel_stats_batches)
+    def gen_and_decode(batches):
+        return mmod.image_pixel_stats_batches(make_blobs(batches))
+
+    return d.select("doc_id").mapInPandas(
+        gen_and_decode, mmod.IMAGE_PIXEL_SCHEMA
+    )
 
 
 ORACLE_IMAGE_PIXELS = """
@@ -2359,8 +2367,16 @@ def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "blob", "mime"]
             )
 
-    media = d.select("doc_id").mapInPandas(make_blobs, mmod.MEDIA_SCHEMA)
-    return mmod.image_pixel_stats(media)
+    # generator and decoder FUSED into one MapInPandas (r6, guide §4):
+    # blobs are built and decoded inside the same Python worker instead
+    # of round-tripping JVM->Python->JVM->Python; the decode path is the
+    # exact operator body (multimodal.image_pixel_stats_batches)
+    def gen_and_decode(batches):
+        return mmod.image_pixel_stats_batches(make_blobs(batches))
+
+    return d.select("doc_id").mapInPandas(
+        gen_and_decode, mmod.IMAGE_PIXEL_SCHEMA
+    )
 
 
 ORACLE_JPEG_PIXELS = """
@@ -2404,8 +2420,15 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "blob", "mime"]
             )
 
-    media = d.select("doc_id").mapInPandas(make_blobs, mmod.MEDIA_SCHEMA)
-    return mmod.audio_features(media)
+    # generator and decoder FUSED into one MapInPandas (r6, guide §4) —
+    # same rationale as q_image_pixel_stats; the decode path is the
+    # exact operator body (multimodal.audio_features_batches)
+    def gen_and_decode(batches):
+        return mmod.audio_features_batches(make_blobs(batches))
+
+    return d.select("doc_id").mapInPandas(
+        gen_and_decode, mmod.AUDIO_FEATURE_SCHEMA
+    )
 
 
 ORACLE_AUDIO_FEATURES = """

@@ -402,32 +402,40 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
     per-channel means computed as exact integer sums with one final
     division — bit-stable across engines, the property the DuckDB
     oracle checks. Undecodable blobs yield valid=false rows."""
+    return df.select("media_id", "blob").mapInPandas(
+        image_pixel_stats_batches, IMAGE_PIXEL_SCHEMA
+    )
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["media_id", "width", "height", "mean_r", "mean_g",
-                "mean_b", "valid"]
-        for b in batches:
-            rows = []
-            for mid, blob in zip(b["media_id"], b["blob"]):
-                try:
-                    if blob is None:
-                        raise ValueError("null blob")
-                    rgb = _decode_image_rgb(bytes(blob))
-                    h, w = rgb.shape[:2]
-                    npx = h * w
-                    sums = rgb.reshape(-1, 3).astype(np.int64).sum(axis=0)
-                    rows.append((
-                        mid, w, h,
-                        round(int(sums[0]) / npx, 6),
-                        round(int(sums[1]) / npx, 6),
-                        round(int(sums[2]) / npx, 6),
-                        True,
-                    ))
-                except Exception:  # noqa: BLE001 — invalid blob => row, not task failure
-                    rows.append((mid, None, None, None, None, None, False))
-            yield pd.DataFrame(rows, columns=cols)
 
-    return df.select("media_id", "blob").mapInPandas(fn, IMAGE_PIXEL_SCHEMA)
+def image_pixel_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Batch transform behind :func:`image_pixel_stats`, exposed so
+    callers that synthesize media in Python (the entry fixtures) can
+    FUSE generator -> decoder into one MapInPandas node instead of
+    round-tripping every blob JVM->Python->JVM->Python (guide §4)."""
+    cols = ["media_id", "width", "height", "mean_r", "mean_g",
+            "mean_b", "valid"]
+    for b in batches:
+        rows = []
+        for mid, blob in zip(b["media_id"], b["blob"]):
+            try:
+                if blob is None:
+                    raise ValueError("null blob")
+                rgb = _decode_image_rgb(bytes(blob))
+                h, w = rgb.shape[:2]
+                npx = h * w
+                sums = rgb.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                rows.append((
+                    mid, w, h,
+                    round(int(sums[0]) / npx, 6),
+                    round(int(sums[1]) / npx, 6),
+                    round(int(sums[2]) / npx, 6),
+                    True,
+                ))
+            except Exception:  # noqa: BLE001 — invalid blob => row, not task failure
+                rows.append((mid, None, None, None, None, None, False))
+        yield pd.DataFrame(rows, columns=cols)
 
 
 def _decode_audio(blob: bytes) -> tuple[int, int]:
@@ -839,44 +847,50 @@ def audio_features(df: DataFrame) -> DataFrame:
     Non-WAV / compressed blobs yield valid=false rows. Same streaming
     shape as the other extractors: mapInPandas, blob dropped before any
     shuffle."""
+    return df.select("media_id", "blob").mapInPandas(
+        audio_features_batches, AUDIO_FEATURE_SCHEMA
+    )
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["media_id", "sample_rate", "n_samples", "duration_sec",
-                "rms", "peak", "zcr", "valid"]
-        for b in batches:
-            rows = []
-            for mid, blob in zip(b["media_id"], b["blob"]):
-                raw = wav_samples_raw(bytes(blob)) if blob is not None else None
-                if raw is None or raw[3].size == 0:
-                    rows.append((mid, None, None, None, None, None, None,
-                                 False))
-                    continue
-                rate, channels, norm, x = raw
-                if channels > 1:  # average to mono (float path)
-                    x = (
-                        x[:x.size // channels * channels]
-                        .reshape(-1, channels).astype(np.float64)
-                        .mean(axis=1)
-                    )
-                nsamp = int(x.size)
-                if np.issubdtype(x.dtype, np.integer):
-                    ssq = _exact_ssq(x)  # exact at any PCM width
-                    pk = int(np.abs(np.asarray(x, np.int64)).max())
-                else:
-                    ssq = float(np.dot(x, x))
-                    pk = float(np.abs(x).max())
-                nonneg = x >= 0
-                trans = int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
-                rows.append((
-                    mid, rate, nsamp, nsamp / rate,
-                    round(float(np.sqrt(ssq / nsamp)) / norm, 6),
-                    round(pk / norm, 6),
-                    round(trans / (nsamp - 1), 6) if nsamp > 1 else 0.0,
-                    True,
-                ))
-            yield pd.DataFrame(rows, columns=cols)
 
-    return df.select("media_id", "blob").mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
+def audio_features_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Batch transform behind :func:`audio_features` (see
+    :func:`image_pixel_stats_batches` for why it is exposed)."""
+    cols = ["media_id", "sample_rate", "n_samples", "duration_sec",
+            "rms", "peak", "zcr", "valid"]
+    for b in batches:
+        rows = []
+        for mid, blob in zip(b["media_id"], b["blob"]):
+            raw = wav_samples_raw(bytes(blob)) if blob is not None else None
+            if raw is None or raw[3].size == 0:
+                rows.append((mid, None, None, None, None, None, None,
+                             False))
+                continue
+            rate, channels, norm, x = raw
+            if channels > 1:  # average to mono (float path)
+                x = (
+                    x[:x.size // channels * channels]
+                    .reshape(-1, channels).astype(np.float64)
+                    .mean(axis=1)
+                )
+            nsamp = int(x.size)
+            if np.issubdtype(x.dtype, np.integer):
+                ssq = _exact_ssq(x)  # exact at any PCM width
+                pk = int(np.abs(np.asarray(x, np.int64)).max())
+            else:
+                ssq = float(np.dot(x, x))
+                pk = float(np.abs(x).max())
+            nonneg = x >= 0
+            trans = int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
+            rows.append((
+                mid, rate, nsamp, nsamp / rate,
+                round(float(np.sqrt(ssq / nsamp)) / norm, 6),
+                round(pk / norm, 6),
+                round(trans / (nsamp - 1), 6) if nsamp > 1 else 0.0,
+                True,
+            ))
+        yield pd.DataFrame(rows, columns=cols)
 
 
 _MP3_BITRATES = (  # kbps, MPEG-1 Layer III

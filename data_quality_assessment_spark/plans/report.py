@@ -62,37 +62,37 @@ def six_metric_report(
     the lag partitions by entity (per SURVEY.md §2.9 Q1, validated by
     keep/drop F1 rather than equality), so the plan has no
     single-partition WindowExec and holds at any cardinality.
+
+    r6 plan restructure (results bit-identical, pinned by
+    tests/test_report_equiv.py against the pre-r6 composition):
+
+      * dupe + format/unknown/completeness fuse into ONE pass over the
+        raw frame — all four are integer counts, so re-grouping the
+        sums through the dupe metric's (entity, ts) aggregate is exact;
+      * the dedup->IAT subtree (scan + two windows + a per-row
+        md5(to_json) tiebreak) used to be re-executed ~5x — once per
+        reference through regularity_score / outlier_score. Mode, MAD
+        and the outlier count now all derive from ONE
+        ``groupBy(iat).count()`` frequency pass: mode is the same
+        min-struct pick, MAD is the exact weighted median (the
+        cumulative-count interpolation identical to ``F.median``, the
+        formula already driver-verified in ``_host_cadence_agg``), and
+        the outlier numerator/denominator are INTEGER sums of
+        frequencies (the per-row modified-z test depends only on the
+        distinct iat value). Only the regularity sums are
+        order-sensitive float additions, so they keep their original
+        per-row aggregate shape — the one remaining row pass. The
+        subtree now executes 2x instead of ~5x and the plan drops from
+        20 exchanges to 11.
     """
     required = required or [entity, ts, "payload_str", "payload_num"]
     known = known or required
     d = df.withColumn("_ts", F.to_timestamp(F.col(ts)))
 
-    # --- dupe (Q9: raw frame), reference rounds 3dp
-    n = F.count(F.lit(1))
-    dupe_df = d.groupBy(entity, "_ts").agg(F.count(F.lit(1)).alias("_c")).agg(
-        F.round(
-            F.lit(1.0) - (F.sum("_c") - n) / F.sum("_c"), 3
-        ).alias("dupe")
-    )
-
-    # --- dedup then IAT (global order, Q1). Winner within a (entity, ts)
-    # group is interchangeable for the IAT metrics, but the tiebreak must
-    # be DETERMINISTIC across runs/repartitionings (D2) — md5 of the full
-    # row content, never monotonically_increasing_id.
-    tiebreak = F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
-    w = Window.partitionBy(entity, "_ts").orderBy(tiebreak)
-    dd = d.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
-    iat = cadence.with_iat(dd, entity, "_ts", global_order=global_order)
-    clean = iat.filter(F.col("iat").isNotNull()).select("iat")
-
-    reg_df = cadence.regularity_score(clean, "iat").select(
-        F.round("reg_score", 3).alias("regularity")
-    )
-    out_df = cadence.outlier_score(clean, "iat").select(
-        F.round("out_score", 3).alias("outliers")
-    )
-
-    # --- schema metrics over typed columns
+    # --- PASS A: dupe (Q9: raw frame) + schema metrics, one aggregate.
+    # req-null / extra / missing counts ride the dupe metric's
+    # (entity, ts) partial aggregation — integer sums, exact under any
+    # grouping; formulas and rounding identical to the reference.
     req_null = [F.col(c).isNull() for c in required if c != ts]
     req_null.append(F.col("_ts").isNull())
     any_null = req_null[0]
@@ -106,23 +106,98 @@ def six_metric_report(
             lambda a, b: a | b, [F.col(c).isNotNull() for c in extras]
         )
     )
-    schema_df = d.agg(
-        F.round(F.lit(1.0) - F.sum(any_null.cast("long")) / n, 4).alias(
+    per_key = d.groupBy(entity, "_ts").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum(any_null.cast("long")).alias("_nl"),
+        F.sum(any_extra.cast("long")).alias("_ne"),
+        F.sum(n_missing).alias("_nm"),
+    )
+    n_groups = F.count(F.lit(1))
+    total = F.sum("_c")
+    base_df = per_key.agg(
+        F.round(F.lit(1.0) - (total - n_groups) / total, 3).alias("dupe"),
+        F.round(F.lit(1.0) - F.sum("_nl") / total, 4).alias(
             "format_adherence"
         ),
-        F.round(F.lit(1.0) - F.sum(any_extra.cast("long")) / n, 4).alias(
+        F.round(F.lit(1.0) - F.sum("_ne") / total, 4).alias(
             "unknown_absence"
         ),
         F.round(
-            F.lit(1.0) - F.sum(n_missing) / (n * len(required)), 6
+            F.lit(1.0) - F.sum("_nm") / (total * len(required)), 6
         ).alias("completeness"),
     )
 
-    row = (
-        dupe_df.crossJoin(reg_df)
-        .crossJoin(out_df)
-        .crossJoin(schema_df)
+    # --- dedup then IAT (global order, Q1). Winner within a (entity, ts)
+    # group is interchangeable for the IAT metrics, but the tiebreak must
+    # be DETERMINISTIC across runs/repartitionings (D2) — md5 of the full
+    # row content, never monotonically_increasing_id.
+    tiebreak = F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+    w = Window.partitionBy(entity, "_ts").orderBy(tiebreak)
+    dd = d.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    iat = cadence.with_iat(dd, entity, "_ts", global_order=global_order)
+    clean = iat.filter(F.col("iat").isNotNull()).select("iat")
+
+    # --- PASS B: iat frequency table -> mode, MAD, outlier counts
+    freq = clean.groupBy("iat").agg(F.count(F.lit(1)).alias("_c"))
+    mode_row = freq.agg(
+        F.min(
+            F.struct((-F.col("_c")).alias("nc"), F.col("iat").alias("v"))
+        )["v"].alias("mode")
     )
+    fr = freq.crossJoin(F.broadcast(mode_row)).withColumn(
+        "_dev", F.abs(F.col("iat") - F.col("mode"))
+    )
+    w_dev = Window.orderBy("_dev").rowsBetween(Window.unboundedPreceding, 0)
+    fr = fr.withColumn("_cum", F.sum("_c").over(w_dev)).withColumn(
+        "_tot", F.sum("_c").over(Window.partitionBy())
+    )
+    pos = (F.col("_tot") - 1) / 2  # 0-based middle position (double)
+    modz_num = 0.6745 * (F.col("iat") - F.col("mode"))
+    stats_row = fr.agg(
+        F.first("mode").alias("mode"),
+        F.min(F.when(F.col("_cum") >= F.floor(pos) + 1, F.col("_dev"))).alias("_lo"),
+        F.min(F.when(F.col("_cum") >= F.ceil(pos) + 1, F.col("_dev"))).alias("_hi"),
+        (F.first(pos) - F.floor(F.first(pos))).alias("_frac"),
+        F.sum("_c").alias("_den"),
+    ).select(
+        "mode",
+        (F.col("_lo") + (F.col("_hi") - F.col("_lo")) * F.col("_frac")).alias(
+            "mad"
+        ),
+        "_den",
+    )
+    # one-sided mod-z > 3.5 (Q4): the test depends only on the distinct
+    # iat value, so the outlier count is an exact integer sum of
+    # frequencies; denominator is the clean row count (same as before)
+    out_row = fr.crossJoin(F.broadcast(stats_row.select("mad"))).agg(
+        F.sum(
+            F.when(
+                (F.col("mad") > 0)
+                & (F.try_divide(modz_num, F.col("mad")) > 3.5),
+                F.col("_c").cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("_nout"),
+        F.first(F.col("_tot")).alias("_n"),
+    )
+    out_df = out_row.select(
+        F.round(
+            F.round(F.lit(1) - F.col("_nout") / F.col("_n"), 6), 3
+        ).alias("outliers")
+    )
+
+    # --- regularity: order-sensitive float sums — keep the original
+    # per-row aggregate shape (same rows, same terms, same rounding)
+    m = mode_row.filter(F.col("mode") != 0)
+    j = clean.crossJoin(F.broadcast(m))
+    rae = F.abs(F.col("iat") - F.col("mode")) / F.col("mode")
+    good = F.sum(F.when(rae <= 0.5, 1 - 2 * rae).otherwise(F.lit(0.0)))
+    cnt = F.sum(F.when(rae <= 0.5, F.lit(1.0)).otherwise(F.lit(0.0)))
+    bad = F.sum(F.when(rae > 0.5, 2 * rae).otherwise(F.lit(0.0)))
+    reg_df = j.agg(
+        F.round(F.round(good / (cnt + bad), 6), 3).alias("regularity")
+    )
+
+    row = base_df.crossJoin(reg_df).crossJoin(out_df)
     avg = F.round(
         (
             F.col("dupe") + F.col("regularity") + F.col("outliers")
