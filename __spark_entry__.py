@@ -2732,11 +2732,15 @@ FROM phf
 
 
 def q_doc_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_quality_assessment_spark.functions.udfs import annotate_udf
+    # r6: dedicated vectorized ppl UDF — annotate_udf computed langid/
+    # top-bigram/extraction per row only for .ppl to be read (opaque
+    # struct UDFs are not field-pruned); values bit-identical
+    from data_quality_assessment_spark.functions.udfs import ppl_udf
 
     d = _load(spark, sf_dir, "documents")
-    ann = annotate_udf(F.lit(None).cast("binary"), F.col("text"))
-    return d.select("doc_id", F.round(ann.ppl, 6).alias("ppl"))
+    return d.select(
+        "doc_id", F.round(ppl_udf(F.col("text")), 6).alias("ppl")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -207,6 +207,107 @@ def _vector_consts():
     }
 
 
+def _tokenize_ids(arr, C):
+    """Shared token machinery over an Arrow string array: returns
+    (par, nw, ids, codes, dvals, dlen, total_toks) — parent doc index
+    per kept token, tokens per doc, vocab ids (exact, with the
+    per-unique-token non-ASCII str.lower fallback), dictionary codes,
+    the dictionary values, and per-unique-token lengths."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    tok_list = pc.ascii_split_whitespace(arr)
+    parents = pc.list_parent_indices(tok_list).to_numpy()
+    flat = pc.list_flatten(tok_list)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    par = parents[keep.to_numpy(zero_copy_only=False)]
+    nw = np.bincount(par, minlength=n).astype(np.int64)
+
+    denc = pc.dictionary_encode(flat)
+    codes = denc.indices.to_numpy().astype(np.int64)
+    dvals = denc.dictionary
+    dlow = pc.ascii_lower(dvals)
+    didx = pc.index_in(dlow, value_set=C["vocab"])
+    dids = didx.to_numpy(zero_copy_only=False)  # float64 + NaN for OOV
+    unk = textcore.VOCAB_UNK
+    dids = np.where(np.isnan(dids), float(unk), dids).astype(np.int64)
+    dascii = pc.string_is_ascii(dvals).to_numpy(zero_copy_only=False)
+    if not dascii.all():
+        # exact parity for exotic case mappings: redo with str.lower,
+        # once per UNIQUE non-ASCII token
+        vget = textcore.VOCAB_INDEX.get
+        bad = np.flatnonzero(~dascii)
+        vals_bad = dvals.take(pa.array(bad)).to_pylist()
+        dids[bad] = [vget(t.lower(), unk) for t in vals_bad]
+    dlen = pc.utf8_length(dvals).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    return par, nw, dids[codes], codes, dvals, dlen, len(flat)
+
+
+def _lp_sums(par, nw, ids, model, n):
+    """Per-doc quantized log-prob sums (exact under any order)."""
+    import numpy as np
+
+    lp = np.zeros(n)
+    unk = textcore.VOCAB_UNK
+    if len(ids) > 1:
+        pair_ok = par[1:] == par[:-1]
+        prev = ids[:-1][pair_ok]
+        cur = ids[1:][pair_ok]
+        pair_doc = par[1:][pair_ok]
+        unk_cur = cur == unk
+        unk_prev = prev == unk
+        cur_c = np.where(unk_cur, 0, cur)
+        prev_c = np.where(unk_prev, 0, prev)
+        terms = np.where(
+            unk_cur,
+            model.logp_unk,
+            np.where(unk_prev, model.logp_uni[cur_c],
+                     model.logp_bi[prev_c, cur_c]),
+        )
+        lp = np.bincount(pair_doc, weights=terms, minlength=n)
+    return lp
+
+
+def ppl_batch(texts, model=None) -> list[float]:
+    """Vectorized perplexity over a sequence of (possibly null) texts —
+    bit-identical to ``model.perplexity(txt, tokenize(txt))`` per doc
+    (non-strings score as empty text, matching annotate_udf). Used by
+    ``udfs.ppl_udf`` so perplexity-only queries skip the rest of the
+    enrich kernel."""
+    import pyarrow as pa
+
+    if model is None:
+        model = get_model()
+    txts = [t if isinstance(t, str) else "" for t in texts]
+    n = len(txts)
+    if (
+        n < _VECTOR_MIN_ROWS
+        or not hasattr(model, "perplexity_ids")
+    ):
+        return [
+            model.perplexity(t, textcore.tokenize(t)) for t in txts
+        ]
+    global _VEC
+    if _VEC is None:
+        _VEC = _vector_consts()
+    arr = pa.array(txts, type=pa.string())
+    par, nw, ids, _codes, _dvals, _dlen, _tt = _tokenize_ids(arr, _VEC)
+    lp = _lp_sums(par, nw, ids, model, n)
+    nw_l = nw.tolist()
+    lp_l = lp.tolist()
+    exp = math.exp
+    return [
+        1.0 if nw_l[i] < 2
+        else float(round(exp(-lp_l[i] / (nw_l[i] - 1)), 6))
+        for i in range(n)
+    ]
+
+
 def _enrich_batch_vector(htmls, texts, model) -> dict[str, list]:
     import numpy as np
     import pyarrow as pa
@@ -232,37 +333,9 @@ def _enrich_batch_vector(htmls, texts, model) -> dict[str, list]:
 
     arr = pa.array(txts, type=pa.string())
 
-    # --- tokenize: pinned class == ASCII whitespace (verified) ---------
-    tok_list = pc.ascii_split_whitespace(arr)
-    parents = pc.list_parent_indices(tok_list).to_numpy()
-    flat = pc.list_flatten(tok_list)
-    keep = pc.not_equal(flat, "")
-    flat = flat.filter(keep)
-    par = parents[keep.to_numpy(zero_copy_only=False)]
-    nw = np.bincount(par, minlength=n).astype(np.int64)
-    total_toks = len(flat)
-
-    # --- per-token work on the token DICTIONARY (unique tokens) --------
-    denc = pc.dictionary_encode(flat)
-    codes = denc.indices.to_numpy().astype(np.int64)
-    dvals = denc.dictionary
-    dlow = pc.ascii_lower(dvals)
-    didx = pc.index_in(dlow, value_set=C["vocab"])
-    dids = didx.to_numpy(zero_copy_only=False)  # float64 + NaN for OOV
+    # --- tokenize + vocab ids on the token DICTIONARY (shared helper) --
+    par, nw, ids, codes, dvals, dlen, total_toks = _tokenize_ids(arr, C)
     unk = textcore.VOCAB_UNK
-    dids = np.where(np.isnan(dids), float(unk), dids).astype(np.int64)
-    dascii = pc.string_is_ascii(dvals).to_numpy(zero_copy_only=False)
-    if not dascii.all():
-        # exact parity for exotic case mappings: redo with str.lower,
-        # once per UNIQUE non-ASCII token
-        vget = textcore.VOCAB_INDEX.get
-        bad = np.flatnonzero(~dascii)
-        vals_bad = dvals.take(pa.array(bad)).to_pylist()
-        dids[bad] = [vget(t.lower(), unk) for t in vals_bad]
-    dlen = pc.utf8_length(dvals).to_numpy(zero_copy_only=False).astype(
-        np.int64
-    )
-    ids = dids[codes]
     tok_len = dlen[codes]
 
     # --- per-doc token aggregates (exact: integer-valued float64 sums) -
@@ -283,24 +356,11 @@ def _enrich_batch_vector(htmls, texts, model) -> dict[str, list]:
     stopword_frac = np.divide(sw_cnt, nwf, out=np.zeros(n), where=nz)
 
     # --- perplexity: batched quantized-logprob sums (exact any-order) --
-    lp = np.zeros(n)
+    lp = _lp_sums(par, nw, ids, model, n)
     top_bigram = np.zeros(n)
     if total_toks > 1:
         pair_ok = par[1:] == par[:-1]
-        prev = ids[:-1][pair_ok]
-        cur = ids[1:][pair_ok]
         pair_doc = par[1:][pair_ok]
-        unk_cur = cur == unk
-        unk_prev = prev == unk
-        cur_c = np.where(unk_cur, 0, cur)
-        prev_c = np.where(unk_prev, 0, prev)
-        terms = np.where(
-            unk_cur,
-            model.logp_unk,
-            np.where(unk_prev, model.logp_uni[cur_c],
-                     model.logp_bi[prev_c, cur_c]),
-        )
-        lp = np.bincount(pair_doc, weights=terms, minlength=n)
 
         # --- top bigram share: packed (doc, prev, cur) run counting ----
         if n < (1 << 21) and len(dvals) < (1 << 21):
@@ -322,7 +382,7 @@ def _enrich_batch_vector(htmls, texts, model) -> dict[str, list]:
                 top_bigram[docs_here] = best / (nw[docs_here] - 1)
         else:  # pathological batch: per-doc exact fallback
             offs = np.concatenate(([0], np.cumsum(nw)))
-            toks_all = flat.to_pylist()
+            toks_all = dvals.take(pa.array(codes)).to_pylist()
             for i in range(n):
                 top_bigram[i] = textcore.top_bigram_share(
                     "", toks_all[offs[i]:offs[i + 1]]

@@ -145,3 +145,16 @@ def extract_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """html binary -> extracted text (byte-stable; see textcore.extract_text)."""
     for htmls in batches:
         yield htmls.map(lambda b: textcore.extract_text(bytes(b)) if b is not None else "")
+
+
+@F.pandas_udf(T.DoubleType())
+def ppl_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """text -> perplexity only (vectorized batch path, kernel.ppl_batch)
+    — bit-identical to ``annotate_udf(...).ppl`` on null html, without
+    paying for extraction/langid/scrub/top-bigram the caller discards
+    (Catalyst cannot prune unused struct fields out of an opaque UDF)."""
+    from .kernel import ppl_batch
+
+    model = get_model()
+    for texts in batches:
+        yield pd.Series(ppl_batch(texts, model), dtype="float64")

@@ -59,26 +59,29 @@ def decontaminate(
     benchmark, and the keep/drop-grade boolean. Callers drop or
     span-excise contaminated docs (compose with
     ``winnow.exact_substring_removal`` for the surgical variant)."""
-    bg = benchmark_ngrams(bench, bench_text_col, n)
+    bg = benchmark_ngrams(bench, bench_text_col, n).withColumn(
+        "_hit", F.lit(1)
+    )
     if broadcast:
         bg = F.broadcast(bg)
     w = docs.select(
         F.col(id_col), ts.words(F.col(text_col)).alias("_ws")
     )
+    # explode_outer keeps gram-less docs as one null-gram row, so the
+    # zero-count rows fall out of the same aggregation (null join keys
+    # never match) instead of a second corpus scan + distinct + left
+    # join for the id spine (r6: one scan of docs, one exchange)
     dg = w.select(
         id_col,
-        F.explode(F.array_distinct(_ngrams(F.col("_ws"), n))).alias("_g"),
+        F.explode_outer(
+            F.array_distinct(_ngrams(F.col("_ws"), n))
+        ).alias("_g"),
     )
-    hits = dg.join(bg, "_g").groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_contaminated_grams")
+    hits = dg.join(bg, "_g", "left").groupBy(id_col).agg(
+        F.count("_hit").alias("n_contaminated_grams")
     )
-    ids = docs.select(id_col).distinct()
-    return ids.join(hits, id_col, "left").select(
+    return hits.select(
         id_col,
-        F.coalesce("n_contaminated_grams", F.lit(0)).cast("long").alias(
-            "n_contaminated_grams"
-        ),
-        (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias(
-            "contaminated"
-        ),
+        F.col("n_contaminated_grams"),
+        (F.col("n_contaminated_grams") > 0).alias("contaminated"),
     )

@@ -36,8 +36,14 @@ def _dup_unit_char_frac(
     """Shared shape for the char-weighted duplicate-UNIT fraction
     (units = lines or paragraphs): frac = sum over distinct units of
     (occurrences - 1) * chars / sum of occurrences * chars. Documents
-    with no units score 0.0."""
-    d = df.select(F.col(id_col), F.explode(unit).alias("_u"))
+    with no units score 0.0.
+
+    ``explode_outer`` keeps unit-less documents as a single null-unit
+    row, so their 0.0 rows fall out of the same aggregation (null
+    lengths vanish from the sums -> null frac -> coalesce) instead of
+    a second scan + distinct + left join for the id spine (r6: one
+    scan, two exchanges — was two scans, three exchanges + join)."""
+    d = df.select(F.col(id_col), F.explode_outer(unit).alias("_u"))
     per = d.groupBy(id_col, "_u").agg(
         F.count(F.lit(1)).alias("_c"), F.length("_u").alias("_len")
     )
@@ -48,10 +54,7 @@ def _dup_unit_char_frac(
             6,
         ).alias(out)
     )
-    ids = df.select(id_col).distinct()
-    return ids.join(agg, id_col, "left").select(
-        id_col, F.coalesce(out, F.lit(0.0)).alias(out)
-    )
+    return agg.select(id_col, F.coalesce(out, F.lit(0.0)).alias(out))
 
 
 def dup_line_char_frac(

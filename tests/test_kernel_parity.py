@@ -167,3 +167,14 @@ def test_vector_batch_parity_html_rows():
 @given(st.lists(st.text(max_size=120), min_size=16, max_size=40))
 def test_vector_batch_parity_hypothesis(texts):
     _assert_batch_parity([None] * len(texts), texts)
+
+
+def test_ppl_batch_matches_perplexity():
+    from data_quality_assessment_spark.functions.kernel import ppl_batch
+
+    texts = EDGE_TEXTS * 2
+    m = get_model()
+    got = ppl_batch(texts, m)
+    for t, g in zip(texts, got):
+        txt = t if isinstance(t, str) else ""
+        assert g == m.perplexity(txt, textcore.tokenize(txt)), repr(t)
