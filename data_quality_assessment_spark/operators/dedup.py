@@ -19,6 +19,9 @@ boilerplate clusters; the band key is already high-cardinality).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -177,6 +180,55 @@ def minhash_signature(
     return F.array(*mins)
 
 
+_FAST_SIG_UDFS: dict = {}
+
+
+def _minhash_fast_udf(n_hashes: int):
+    """Memoized Arrow UDF: text -> array<long> minhash signature via the
+    vectorized numpy XXH64 twin (functions/fasthash.py). Bit-identical
+    to the HOF expression chain (pinned by tests/test_fasthash.py) at
+    a fraction of its CodegenFallback interpretation cost (guide §4.2)."""
+    key = ("mh", n_hashes)
+    if key not in _FAST_SIG_UDFS:
+        from pyspark.sql import types as T
+
+        params = [_uh_params(i, "mh") for i in range(n_hashes)]
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def sig_udf(
+            batches: Iterator[pd.Series],
+        ) -> Iterator[pd.Series]:
+            from ..functions.fasthash import minhash_sigs_batch
+
+            for texts in batches:
+                sig = minhash_sigs_batch(
+                    texts, n_hashes, lambda i: params[i]
+                )
+                yield pd.Series(list(sig))
+
+        _FAST_SIG_UDFS[key] = sig_udf
+    return _FAST_SIG_UDFS[key]
+
+
+def _simhash_fast_udf(bits: int):
+    """Memoized Arrow UDF twin of the simhash vote aggregate chain."""
+    key = ("sh", bits)
+    if key not in _FAST_SIG_UDFS:
+        from pyspark.sql import types as T
+
+        @F.pandas_udf(T.LongType())
+        def sh_udf(
+            batches: Iterator[pd.Series],
+        ) -> Iterator[pd.Series]:
+            from ..functions.fasthash import simhash_batch
+
+            for texts in batches:
+                yield pd.Series(simhash_batch(texts, bits))
+
+        _FAST_SIG_UDFS[key] = sh_udf
+    return _FAST_SIG_UDFS[key]
+
+
 def with_minhash_signature(
     df: DataFrame,
     id_col: str,
@@ -186,16 +238,22 @@ def with_minhash_signature(
 ) -> DataFrame:
     """(id, sig: array<long>) — the efficient evaluation shape.
 
-    Higher-order array functions are CodegenFallback in Spark: every
-    *reference* to a HOF subtree re-evaluates it. Materializing the
-    shingle-hash array as a real column between projections makes the
-    n_hashes min-passes read a computed array instead of re-splitting
-    the text n_hashes times (~20x on the fast path, measured).
-    CollapseProject will not inline ``_base`` because it is non-cheap
-    and referenced n_hashes times.
+    fast=True (r6): ONE ArrowEvalPython node running the vectorized
+    numpy XXH64 twin — the HOF expression chain is CodegenFallback
+    (interpreted per element) and its n_hashes min-passes dominated the
+    query wall; values are bit-identical (tests/test_fasthash.py).
+    fast=False keeps the md5 expression family the DuckDB oracle
+    reproduces. The pre-r6 HOF-expression lesson still applies to the
+    md5 path: materialize the shingle array once between projections
+    so no HOF re-evaluates its argument subtree.
     """
+    if fast and SHINGLE_K == 3:
+        return df.select(
+            F.col(id_col),
+            _minhash_fast_udf(n_hashes)(F.col(text_col)).alias("sig"),
+        )
     sh = _shingles(F.col(text_col))
-    if fast:
+    if fast:  # pragma: no cover — non-default shingle width
         base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)))
 
         def _mk(a: int, b: int):
@@ -319,9 +377,17 @@ def with_simhash(
     bits: int = SIMHASH_BITS,
     fast: bool = True,
 ) -> DataFrame:
-    """(id, simhash) — materializes the word-hash array once so the
-    ``bits`` vote passes read a computed column (HOFs are CodegenFallback;
-    see with_minhash_signature)."""
+    """(id, simhash) — fast=True (r6): one ArrowEvalPython node running
+    the vectorized numpy XXH64 twin (bit-identical, see
+    with_minhash_signature); fast=False keeps the md5 expression chain
+    for the DuckDB oracle, with the word-hash array materialized once
+    so the ``bits`` vote passes read a computed column (HOFs are
+    CodegenFallback)."""
+    if fast:
+        return df.select(
+            F.col(id_col),
+            _simhash_fast_udf(bits)(F.col(text_col)).alias("simhash"),
+        )
     ws = ts.words(F.col(text_col))
     hasher = (lambda w: F.xxhash64(w)) if fast else (lambda w: _h64(w))
     d = df.select(F.col(id_col), F.transform(ws, hasher).alias("_h"))

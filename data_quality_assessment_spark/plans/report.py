@@ -137,7 +137,11 @@ def six_metric_report(
     iat = cadence.with_iat(dd, entity, "_ts", global_order=global_order)
     clean = iat.filter(F.col("iat").isNotNull()).select("iat")
 
-    # --- PASS B: iat frequency table -> mode, MAD, outlier counts
+    # --- PASS B: iat frequency table -> mode, MAD, outlier counts.
+    # MAD = percentile(dev, 0.5, frequency) — the SAME Percentile
+    # aggregate F.median runs over the expanded rows (its buffer counts
+    # values; seeding the counts with the frequencies is identical),
+    # with map-side partials and no global sort or window.
     freq = clean.groupBy("iat").agg(F.count(F.lit(1)).alias("_c"))
     mode_row = freq.agg(
         F.min(
@@ -147,29 +151,15 @@ def six_metric_report(
     fr = freq.crossJoin(F.broadcast(mode_row)).withColumn(
         "_dev", F.abs(F.col("iat") - F.col("mode"))
     )
-    w_dev = Window.orderBy("_dev").rowsBetween(Window.unboundedPreceding, 0)
-    fr = fr.withColumn("_cum", F.sum("_c").over(w_dev)).withColumn(
-        "_tot", F.sum("_c").over(Window.partitionBy())
-    )
-    pos = (F.col("_tot") - 1) / 2  # 0-based middle position (double)
-    modz_num = 0.6745 * (F.col("iat") - F.col("mode"))
     stats_row = fr.agg(
-        F.first("mode").alias("mode"),
-        F.min(F.when(F.col("_cum") >= F.floor(pos) + 1, F.col("_dev"))).alias("_lo"),
-        F.min(F.when(F.col("_cum") >= F.ceil(pos) + 1, F.col("_dev"))).alias("_hi"),
-        (F.first(pos) - F.floor(F.first(pos))).alias("_frac"),
-        F.sum("_c").alias("_den"),
-    ).select(
-        "mode",
-        (F.col("_lo") + (F.col("_hi") - F.col("_lo")) * F.col("_frac")).alias(
-            "mad"
-        ),
-        "_den",
+        F.percentile(F.col("_dev"), F.lit(0.5), F.col("_c")).alias("mad"),
+        F.sum("_c").alias("_n"),
     )
     # one-sided mod-z > 3.5 (Q4): the test depends only on the distinct
     # iat value, so the outlier count is an exact integer sum of
     # frequencies; denominator is the clean row count (same as before)
-    out_row = fr.crossJoin(F.broadcast(stats_row.select("mad"))).agg(
+    modz_num = 0.6745 * (F.col("iat") - F.col("mode"))
+    out_row = fr.crossJoin(F.broadcast(stats_row)).agg(
         F.sum(
             F.when(
                 (F.col("mad") > 0)
@@ -177,7 +167,7 @@ def six_metric_report(
                 F.col("_c").cast("double"),
             ).otherwise(F.lit(0.0))
         ).alias("_nout"),
-        F.first(F.col("_tot")).alias("_n"),
+        F.first(F.col("_n")).alias("_n"),
     )
     out_df = out_row.select(
         F.round(
