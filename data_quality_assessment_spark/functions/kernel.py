@@ -89,8 +89,14 @@ def enrich_batch(htmls, texts) -> dict[str, list]:
         n < _VECTOR_MIN_ROWS
         or ft is not None                      # real fastText: per-doc API
         or not hasattr(model, "perplexity_ids")  # real ARPA LM: token API
-        # the vector path's lang finishing hardcodes this script layout
-        or tuple(textcore.SCRIPT_RANGES) != ("xx_cyr", "xx_cjk", "xx_deva")
+        # the vector path's lang finishing and byte-level script counter
+        # hardcode this exact script layout
+        or textcore.SCRIPT_RANGES != {
+            "xx_cyr": ((0x0400, 0x04FF),),
+            "xx_cjk": ((0x4E00, 0x9FFF), (0x3040, 0x30FF)),
+            "xx_deva": ((0x0900, 0x097F),),
+        }
+        or textcore._LATIN != ((0x41, 0x5A), (0x61, 0x7A))
     ):
         return _enrich_batch_scalar(htmls, texts, model, ft)
     return _enrich_batch_vector(htmls, texts, model)
@@ -205,6 +211,60 @@ def _vector_consts():
         "gate_re": gate_re,
         "vocab": pa.array(textcore.VOCAB, type=pa.string()),
     }
+
+
+def _script_counts_bytes(arr):
+    """Per-doc script counts straight off the Arrow UTF-8 data buffer —
+    no utf-32 expansion, no per-char doc-id array (the former script
+    pass was the kernel's largest memory-traffic term at 32 workers).
+
+    Valid UTF-8 makes each range detectable from lead bytes alone:
+      * latin  A-Z / a-z: single bytes 0x41-5A / 0x61-7A;
+      * cyrillic U+0400-04FF: 2-byte lead 0xD0-0xD3 (64-char aligned);
+      * CJK U+4E00-9FFF: lead 0xE4 with 2nd byte >= 0xB8, or leads
+        0xE5-0xE9; kana U+3040-30FF: lead 0xE3, 2nd byte 0x81-0x83;
+      * devanagari U+0900-097F: lead 0xE0, 2nd byte 0xA4-0xA5.
+    Continuation bytes (0x80-BF) and 4-byte leads (0xF0+) match no
+    mask, so every count equals the codepoint count in the range
+    (pinned vs the searchsorted reference by the kernel parity tests).
+    Returns (latin, cyr, cjk, deva) int64 arrays.
+    """
+    import numpy as np
+
+    n = len(arr)
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1,
+                            offset=arr.offset * 4).astype(np.int64)
+    b = np.frombuffer(bufs[2], dtype=np.uint8)[
+        offsets[0]:offsets[-1]
+    ]
+    offs = offsets - offsets[0]
+    nb = len(b)
+
+    def per_doc(mask):
+        cs = np.concatenate(
+            ([0], np.cumsum(mask, dtype=np.int64))
+        )
+        return cs[offs[1:]] - cs[offs[:-1]]
+
+    latin = per_doc(((b >= 0x41) & (b <= 0x5A)) | ((b >= 0x61) & (b <= 0x7A)))
+    cyr = per_doc((b >= 0xD0) & (b <= 0xD3))
+    if nb >= 2:
+        b1 = b[:-1]
+        b2 = b[1:]
+        pad = np.zeros(1, dtype=bool)
+        cjk_pair = ((b1 == 0xE4) & (b2 >= 0xB8)) | (
+            (b1 == 0xE3) & (b2 >= 0x81) & (b2 <= 0x83)
+        )
+        deva_pair = (b1 == 0xE0) & (b2 >= 0xA4) & (b2 <= 0xA5)
+        cjk = per_doc(
+            np.concatenate((cjk_pair, pad)) | ((b >= 0xE5) & (b <= 0xE9))
+        )
+        deva = per_doc(np.concatenate((deva_pair, pad)))
+    else:
+        cjk = np.zeros(n, dtype=np.int64)
+        deva = np.zeros(n, dtype=np.int64)
+    return latin, cyr, cjk, deva
 
 
 def _tokenize_ids(arr, C):
@@ -388,23 +448,12 @@ def _enrich_batch_vector(htmls, texts, model) -> dict[str, list]:
                     "", toks_all[offs[i]:offs[i + 1]]
                 )
 
-    # --- script counts: one utf-32 pass + class-table gather -----------
-    char_len = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(
-        np.int64
-    )
-    big = "".join(txts)
-    cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
-    doc_of_char = np.repeat(np.arange(n, dtype=np.int64), char_len)
-    cls = C["cls_table"][np.minimum(cp, (1 << 16) - 1)]
-    n_cls = C["n_cls"]
-    mat = np.bincount(
-        doc_of_char * n_cls + cls, minlength=n * n_cls
-    ).reshape(n, n_cls)
-    latin_l = mat[:, 1].tolist()
-    # script columns in SCRIPT_RANGES order: xx_cyr, xx_cjk, xx_deva
-    cyr_l = mat[:, 2].tolist()
-    cjk_l = mat[:, 3].tolist()
-    deva_l = mat[:, 4].tolist()
+    # --- script counts: byte-level masks over the Arrow data buffer ----
+    latin_a, cyr_a, cjk_a, deva_a = _script_counts_bytes(arr)
+    latin_l = latin_a.tolist()
+    cyr_l = cyr_a.tolist()
+    cjk_l = cjk_a.tolist()
+    deva_l = deva_a.tolist()
 
     # --- scrub gate: one ASCII-case-exact RE2 pass + ascii mask --------
     doc_ascii = pc.string_is_ascii(arr).to_numpy(zero_copy_only=False)

@@ -136,6 +136,17 @@ EDGE_TEXTS = [
     "\x1d\x1e\x1f",
     "mixed Привет the data 数据",
     None,
+    # script-range boundary codepoints (byte-level counter edges):
+    # latin / cyrillic / devanagari / CJK / kana just inside + outside
+    "".join(chr(c) for c in (
+        0x40, 0x41, 0x5A, 0x5B, 0x60, 0x61, 0x7A, 0x7B,
+        0x3FF, 0x400, 0x4FF, 0x500,
+        0x8FF, 0x900, 0x97F, 0x980,
+        0x303F, 0x3040, 0x30FF, 0x3100,
+        0x4DFF, 0x4E00, 0x9FFF, 0xA000,
+        0x1F600, 0x10FFFF,
+    )),
+    "一Ѐ mixed ऀ぀ edge",
 ]
 
 
