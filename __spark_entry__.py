@@ -1638,9 +1638,17 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     )
-    from data_quality_assessment_spark.operators.similarity import cosine
+    # r6: query-side norm precomputed on the one-row broadcast side
+    # (cosine_prenorm) — the flat-codegen cosine otherwise recomputes
+    # the constant sqrt(sum qv^2) chain per corpus row; bit-identical
+    from data_quality_assessment_spark.operators.similarity import (
+        cosine_prenorm, vec_norm,
+    )
 
-    cos = cosine(F.col("embedding"), F.col("qv"), dim=_LSH_DIM)
+    q = q.withColumn("_qn", vec_norm(F.col("qv"), _LSH_DIM))
+    cos = cosine_prenorm(
+        F.col("embedding"), F.col("qv"), F.col("_qn"), dim=_LSH_DIM
+    )
     return (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))

@@ -144,6 +144,29 @@ def cosine(
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def vec_norm(v: Column, dim: int) -> Column:
+    """sqrt(sum v_i^2) with EXACTLY the fold order :func:`cosine` uses
+    for its per-side norms — precompute this once on a broadcast query
+    side and pass it to :func:`cosine_prenorm`: the product
+    sqrt(na) * norm is bit-identical to cosine() evaluating both norms
+    per row (same expression over the same values, evaluated once)."""
+    vd = [v[i].cast("double") for i in range(dim)]
+    return F.sqrt(_sum_chain([x * x for x in vd]))
+
+
+def cosine_prenorm(a: Column, b: Column, b_norm: Column, dim: int) -> Column:
+    """cosine(a, b) with b's norm supplied as a precomputed column —
+    r6: the flat-codegen cosine spent half its per-row arithmetic
+    recomputing the constant query-side norm (Catalyst cannot hoist an
+    expression over a join column). Values bit-identical to
+    :func:`cosine` (pinned by tests/test_similarity.py)."""
+    ad = [a[i].cast("double") for i in range(dim)]
+    bd = [b[i].cast("double") for i in range(dim)]
+    dot = _sum_chain([x * y for x, y in zip(ad, bd)])
+    na = _sum_chain([x * x for x in ad])
+    return dot / (F.sqrt(na) * b_norm)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -155,12 +178,24 @@ def cosine_topk(
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
     """Exact top-k per query: (q_id, vec_id, cos, rank). Queries are
-    broadcast — the corpus side never shuffles."""
-    j = corpus.crossJoin(F.broadcast(queries))
+    broadcast — the corpus side never shuffles; with ``dim`` known the
+    query-side norm is precomputed on the (tiny) broadcast side
+    (:func:`cosine_prenorm`) instead of per corpus row."""
+    if dim is not None and not _use_vectorized(dim, None):
+        q = queries.withColumn(
+            "_qnorm", vec_norm(F.col(q_vec_col), dim)
+        )
+        j = corpus.crossJoin(F.broadcast(q))
+        cos = cosine_prenorm(
+            F.col(vec_col), F.col(q_vec_col), F.col("_qnorm"), dim
+        )
+    else:
+        j = corpus.crossJoin(F.broadcast(queries))
+        cos = cosine(F.col(vec_col), F.col(q_vec_col), dim)
     scored = j.select(
         F.col(q_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(q_vec_col), dim).alias("cos"),
+        cos.alias("cos"),
     ).filter(F.col(q_id_col) != F.col(id_col))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (
