@@ -330,6 +330,12 @@ class _ProgressiveState:
     @staticmethod
     def _dc_first(br, tab, pred, zz, al):
         t = br.decode_symbol(tab)
+        if t > 11:
+            # T.81 F.1.2.1.1: DC magnitude categories for 8-bit
+            # precision are 0..11 — a larger symbol means a desynced/
+            # corrupt stream; raise so the caller emits valid=false
+            # instead of silently wrapping pred past int32 (ADVICE r5)
+            raise ValueError(f"DC magnitude category {t} > 11")
         pred += _extend(br.read_bits(t), t)
         zz[0] = pred << al
         return pred

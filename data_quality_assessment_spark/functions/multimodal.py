@@ -391,6 +391,15 @@ def _decode_image_rgb(raw: bytes) -> np.ndarray:
         import io
 
         with _PILImage.open(io.BytesIO(raw)) as im:
+            # the 64 MP decompression-bomb budget applies to the PIL
+            # branch too: PIL's own default limit only errors near
+            # ~178 MP, so a 64-178 MP bomb rejected by the native
+            # decoders would still fully decode here (ADVICE r5)
+            w, h = im.size
+            if w * h > _MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"image {w}x{h} over the decode bomb guard"
+                )
             return np.asarray(im.convert("RGB"))
     raise ValueError("undecodable image blob")
 

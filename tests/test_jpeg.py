@@ -657,3 +657,27 @@ def test_encode_dc_progressive_fixture():
         b = J.jpeg_pixels(J.encode_dc_progressive(24, 16, dc))
         assert (a == b).all(), dc
         assert (a == np.clip(round(dc / 8) + 128, 0, 255)).all(), dc
+
+
+def test_progressive_dc_category_over_11_raises():
+    """ADVICE r5: a desynced progressive stream whose Huffman symbol
+    decodes to a DC magnitude category > 11 must raise (valid=false at
+    the operator level) instead of wrapping pred past int32."""
+    import numpy as np
+    import pytest
+
+    from data_quality_assessment_spark.functions import jpeg as J
+
+    class FakeBR:
+        def __init__(self):
+            self.bits = 0
+
+        def decode_symbol(self, tab):
+            return 12  # > 11: corrupt
+
+        def read_bits(self, n):
+            return 0
+
+    zz = np.zeros(64, dtype=np.int64)
+    with pytest.raises(ValueError, match="> 11"):
+        J._ProgressiveState._dc_first(FakeBR(), None, 0, zz, 1)
