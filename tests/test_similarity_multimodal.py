@@ -789,6 +789,8 @@ def test_decode_image_rgb_pil_fallback_on_notimplemented(monkeypatch):
     sentinel = np.full((2, 3, 3), 7, dtype=np.uint8)
 
     class _FakeIm:
+        size = (3, 2)  # (w, h) — under the bomb budget
+
         def __enter__(self):
             return self
 
@@ -837,3 +839,30 @@ def test_mp3_frame_walk_leading_junk():
     junk2 = b"\xff\x00\xff\xe0" + clean  # second: version/layer invalid
     assert mm.mp3_frame_walk(junk2) == (44100, 3 * mm.MP3_SAMPLES_PER_FRAME)
     assert mm.mp3_frame_walk(b"\x00" * 64) is None
+
+
+def test_decode_image_rgb_pil_respects_bomb_guard(monkeypatch):
+    """ADVICE r5: the PIL fallback must enforce the same 64MP budget as
+    the native decoders — a 100MP image PIL would happily decode is
+    rejected before convert()."""
+    class _HugeIm:
+        size = (10000, 10000)  # 100 MP
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):  # pragma: no cover — must not be hit
+            raise AssertionError("bomb guard bypassed")
+
+    class _FakePIL:
+        @staticmethod
+        def open(fp):
+            return _HugeIm()
+
+    blob = b"\xff\xd8\xff\xc9" + bytes(20)
+    monkeypatch.setattr(mm, "_PILImage", _FakePIL)
+    with pytest.raises(ValueError, match="bomb"):
+        mm._decode_image_rgb(blob)
