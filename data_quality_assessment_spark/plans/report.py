@@ -143,6 +143,14 @@ def six_metric_report(
     # values; seeding the counts with the frequencies is identical),
     # with map-side partials and no global sort or window.
     freq = clean.groupBy("iat").agg(F.count(F.lit(1)).alias("_c"))
+    # freq is referenced by mode/stats/outlier AND (via mode) the
+    # regularity pass; without materialization each reference re-runs
+    # the scan + dedup window + IAT window + per-row md5 subtree that
+    # derives it. The table is frequency-collapsed (one row per
+    # distinct IAT) — lazily checkpoint it so the subtree executes
+    # once per report evaluation (recomputed on every invocation; this
+    # is intra-query materialization, not cross-run caching).
+    freq = freq.localCheckpoint(eager=False)
     mode_row = freq.agg(
         F.min(
             F.struct((-F.col("_c")).alias("nc"), F.col("iat").alias("v"))
