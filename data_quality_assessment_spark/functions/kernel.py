@@ -242,10 +242,12 @@ def _script_counts_bytes(arr):
     nb = len(b)
 
     def per_doc(mask):
+        # int32: byte counts per batch stay far under 2^31, and the
+        # cumsum is the pass's main memory-traffic term at 32 workers
         cs = np.concatenate(
-            ([0], np.cumsum(mask, dtype=np.int64))
+            ([np.int32(0)], np.cumsum(mask, dtype=np.int32))
         )
-        return cs[offs[1:]] - cs[offs[:-1]]
+        return (cs[offs[1:]] - cs[offs[:-1]]).astype(np.int64)
 
     latin = per_doc(((b >= 0x41) & (b <= 0x5A)) | ((b >= 0x61) & (b <= 0x7A)))
     cyr = per_doc((b >= 0xD0) & (b <= 0xD3))
