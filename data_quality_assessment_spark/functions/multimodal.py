@@ -2,13 +2,17 @@
 
 Training-data-pipeline extension (no reference analog). The Spark-side
 plumbing — schemas, Arrow batch shapes, ``mapInPandas`` signatures,
-partition behavior — is real and tested. HEADER metadata decode is real
-and dependency-free for the formats a web crawl actually carries:
-JPEG/PNG/GIF dimensions and MP4 (ISO BMFF) duration/tracks/dimensions.
-Full PIXEL/SAMPLE decode is the remaining seam (PIL optional for
-images; audio codecs absent in this container raise
-``NotImplementedError``); the deterministic FAKE containers below
-exercise the full path end-to-end where no real format applies.
+partition behavior — is real and tested. Decode is real and
+dependency-free for the formats a web crawl actually carries: PIXEL
+decode for PNG (filters 0-4, gray/RGB/palette/RGBA), GIF (LZW) and
+JPEG (baseline + progressive Huffman/IDCT, functions/jpeg.py); SAMPLE
+decode for WAV PCM (8/16/24/32-bit); header/metadata decode for MP3
+(full frame walk) and MP4 (ISO BMFF). PIL is an optional fallback for
+rarer image formats (subject to the same 64 MP bomb budget);
+compressed-audio SAMPLE synthesis (the MP3 filterbank) stays out of
+scope and raises ``NotImplementedError`` into valid=false rows. The
+deterministic FAKE containers below exercise the plumbing end-to-end
+where no real format applies.
 
 FAKE container format (deterministic, self-describing):
   b"FAKEIMG1" + width:uint16be + height:uint16be + payload bytes

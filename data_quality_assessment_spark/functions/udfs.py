@@ -1,15 +1,18 @@
 """Arrow-batched pandas UDFs — the only Python in the hot path.
 
-Two JVM↔Python boundaries total in the flagship plan (SURVEY.md §4):
-``annotate_udf`` (langid + perplexity + repetition signal, fused into ONE
-ArrowEvalPython node) and ``scrub_udf``. Both use the Iterator form so
+ONE JVM↔Python boundary in the flagship plan (SURVEY.md §4):
+``enrich_udf`` — the fused extract + langid + perplexity + repetition +
+text-stats + scrub kernel, one ArrowEvalPython node backed by the
+batch-vectorized ``kernel.enrich_batch`` (r6). ``annotate_udf`` /
+``scrub_udf`` remain for callers composing the stages separately, and
+``ppl_udf`` serves perplexity-only queries. All use the Iterator form so
 model/regex state is initialized once per executor Python worker and
 reused across Arrow batches ("model broadcast once per executor, no
 per-row Python" — BASELINE.json north_star).
 
-All per-row logic is imported from ``textcore``/``lm`` — the same modules
-the test oracle uses — so Spark output is byte-identical to the oracle by
-construction.
+All per-row semantics are imported from ``textcore``/``lm``/``kernel`` —
+the same modules the test oracle uses — so Spark output is
+byte-identical to the oracle by construction.
 """
 
 from __future__ import annotations

@@ -11,10 +11,14 @@ DuckDB (``('0x' || substr(md5(x),1,15))::BIGINT``), so every operator here
 has an exact SQL oracle. xxhash64 would be ~3x faster but is not
 reproducible outside Spark; swap ``_h64`` for ``F.xxhash64`` in production.
 
-Scale notes: MinHash signatures/bands are computed per-row inside
-whole-stage codegen (no UDF, no explode of shingles); the only shuffle is
-the band-key self-join, which AQE handles (skewed bands = near-identical
-boilerplate clusters; the band key is already high-cardinality).
+Scale notes: fast-path MinHash signatures / SimHash are ONE Arrow-
+batched UDF node each (r6 — the vectorized numpy XXH64 twin in
+``functions/fasthash.py``, bit-identical to the former codegen HOF
+chains which were CodegenFallback-interpreted); the md5 oracle family
+stays pure codegen. No explode of shingles anywhere; the only shuffle
+is the band-key self-join, which AQE handles (skewed bands =
+near-identical boilerplate clusters; the band key is already
+high-cardinality).
 """
 
 from __future__ import annotations
