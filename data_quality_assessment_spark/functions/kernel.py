@@ -371,14 +371,7 @@ def ppl_batch(texts, model=None) -> list[float]:
 
 
 def _enrich_batch_vector(htmls, texts, model) -> dict[str, list]:
-    import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
-
-    global _VEC
-    if _VEC is None:
-        _VEC = _vector_consts()
-    C = _VEC
 
     n = len(htmls)
     # --- extraction (precedence identical to the scalar loop) ----------
@@ -394,6 +387,109 @@ def _enrich_batch_vector(htmls, texts, model) -> dict[str, list]:
             append("")
 
     arr = pa.array(txts, type=pa.string())
+    return _enrich_from_arr(arr, model)
+
+
+def _extract_arr(html_arr, text_arr):
+    """Vectorized extraction: cast html binary -> string (validates
+    UTF-8; an invalid byte sequence anywhere returns None so the caller
+    takes the per-row ``extract_text`` path with its errors='replace'
+    semantics), strip tags with RE2 (``<[^>]*>`` — byte-equivalent to
+    the Python pattern), fall back to text-or-empty per row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    empty = pa.scalar("", type=pa.string())
+    if html_arr.null_count == len(html_arr):
+        return pc.coalesce(
+            text_arr.cast(pa.string()) if text_arr.type != pa.string()
+            else text_arr,
+            empty,
+        )
+    try:
+        html_str = html_arr.cast(pa.string())
+    except pa.ArrowInvalid:
+        return None
+    stripped = pc.replace_substring_regex(
+        html_str, pattern="<[^>]*>", replacement=""
+    )
+    return pc.if_else(
+        pc.is_valid(html_arr),
+        stripped,
+        pc.coalesce(
+            text_arr.cast(pa.string()) if text_arr.type != pa.string()
+            else text_arr,
+            empty,
+        ),
+    )
+
+
+def enrich_batch_arrow(html_arr, text_arr):
+    """Arrow-native enrich: (binary html array, string text array) ->
+    pa.StructArray in ENRICH_COLS order — the ``arrow_udf`` entry (no
+    pandas on either side of the boundary). Falls back to the scalar
+    path (converted via to_pylist) for tiny batches, swapped-in models,
+    or non-UTF-8 html bytes."""
+    import pyarrow as pa
+
+    from .model_loaders import get_fasttext
+
+    model = get_model()
+    ft = get_fasttext()
+    n = len(html_arr)
+    if (
+        n < _VECTOR_MIN_ROWS
+        or ft is not None
+        or not hasattr(model, "perplexity_ids")
+        or tuple(textcore.SCRIPT_RANGES) != ("xx_cyr", "xx_cjk", "xx_deva")
+    ):
+        cols = _enrich_batch_scalar(
+            html_arr.to_pylist(), text_arr.to_pylist(), model, ft
+        )
+        return _cols_to_struct(cols)
+    arr = _extract_arr(html_arr, text_arr)
+    if arr is None:  # invalid UTF-8 somewhere: exact per-row semantics
+        cols = _enrich_batch_vector(
+            html_arr.to_pylist(), text_arr.to_pylist(), model
+        )
+        return _cols_to_struct(cols)
+    return _cols_to_struct(_enrich_from_arr(arr, model))
+
+
+def _cols_to_struct(cols):
+    import pyarrow as pa
+
+    types = {
+        "lang_pred": pa.string(), "lang_conf": pa.float64(),
+        "ppl": pa.float64(), "top_bigram_share": pa.float64(),
+        "scrubbed_text": pa.string(), "pii_email": pa.int32(),
+        "pii_ip": pa.int32(), "pii_phone": pa.int32(),
+        "toxicity_slur": pa.int32(), "nw": pa.int64(),
+        "mean_wl": pa.float64(), "symbol_ratio": pa.float64(),
+        "stopword_frac": pa.float64(), "dup_line_frac": pa.float64(),
+    }
+    return pa.StructArray.from_arrays(
+        [pa.array(cols[k], type=types[k]) for k in ENRICH_COLS],
+        names=list(ENRICH_COLS),
+    )
+
+
+def _enrich_from_arr(arr, model) -> dict[str, list]:
+    """The vectorized kernel body over an extracted-text Arrow array.
+    Per-row Python strings are materialized ONLY for rows the scrub
+    gate or the dup-line eligibility mask route to the scalar helpers
+    (the ``not txt`` lang special case is equivalent to the letters==0
+    branch — empty text has no letters — so the loop needs no text)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    global _VEC
+    if _VEC is None:
+        _VEC = _vector_consts()
+    C = _VEC
+
+    n = len(arr)
 
     # --- tokenize + vocab ids on the token DICTIONARY (shared helper) --
     par, nw, ids, codes, dvals, dlen, total_toks = _tokenize_ids(arr, C)
@@ -495,6 +591,13 @@ def _enrich_batch_vector(htmls, texts, model) -> dict[str, list]:
     dl_eligible_l = dl_eligible.tolist()
     dup_line_l = dup_line_arr.tolist()
 
+    # --- per-row text materialized ONLY where the scalar helpers run --
+    sel = np.flatnonzero(np.asarray(need_scrub) | ~dl_eligible)
+    txt_by_i = (
+        dict(zip(sel.tolist(), arr.take(pa.array(sel)).to_pylist()))
+        if len(sel) else {}
+    )
+
     # --- per-doc finishing loop (cheap scalar arithmetic only) ---------
     nw_l = nw.tolist()
     lp_l = lp.tolist()
@@ -524,41 +627,37 @@ def _enrich_batch_vector(htmls, texts, model) -> dict[str, list]:
     dlf = textcore.dup_line_frac
     exp = math.exp
     for i in range(n):
-        txt = txts[i]
         nw_i = nw_l[i]
-        # language decision (identical branch structure to lang_id)
-        if not txt:
+        # language decision (identical outputs to lang_id: its
+        # empty-text early return equals the letters==0 branch)
+        latin = latin_l[i]
+        ccyr = cyr_l[i]
+        ccjk = cjk_l[i]
+        cdeva = deva_l[i]
+        letters = latin + ccyr + ccjk + cdeva
+        if letters == 0:
             ap_lang("unk")
             ap_conf(0.0)
         else:
-            latin = latin_l[i]
-            ccyr = cyr_l[i]
-            ccjk = cjk_l[i]
-            cdeva = deva_l[i]
-            letters = latin + ccyr + ccjk + cdeva
-            if letters == 0:
-                ap_lang("unk")
-                ap_conf(0.0)
-            else:
-                bc, bk = max(
-                    (ccyr, "xx_cyr"), (ccjk, "xx_cjk"), (cdeva, "xx_deva")
-                )
-                frac = bc / letters
-                if frac >= 0.30:
-                    ap_lang(bk)
-                    ap_conf(round(frac, 6))
-                elif latin / letters >= 0.50:
-                    if nw_i:
-                        sf = int(sw_l[i]) / nw_i
-                        iv = int(iv_l[i]) / nw_i
-                    else:
-                        sf = iv = 0.0
-                    conf = min(1.0, 0.6 * iv + 1.5 * sf + 0.05)
-                    ap_lang("en" if conf >= 0.20 else "unk")
-                    ap_conf(round(conf, 6))
+            bc, bk = max(
+                (ccyr, "xx_cyr"), (ccjk, "xx_cjk"), (cdeva, "xx_deva")
+            )
+            frac = bc / letters
+            if frac >= 0.30:
+                ap_lang(bk)
+                ap_conf(round(frac, 6))
+            elif latin / letters >= 0.50:
+                if nw_i:
+                    sf = int(sw_l[i]) / nw_i
+                    iv = int(iv_l[i]) / nw_i
                 else:
-                    ap_lang("unk")
-                    ap_conf(round(latin / letters, 6))
+                    sf = iv = 0.0
+                conf = min(1.0, 0.6 * iv + 1.5 * sf + 0.05)
+                ap_lang("en" if conf >= 0.20 else "unk")
+                ap_conf(round(conf, 6))
+            else:
+                ap_lang("unk")
+                ap_conf(round(latin / letters, 6))
         # perplexity finishing (math.exp + round per doc for bit parity)
         if nw_i < 2:
             ap_ppl(1.0)
@@ -566,7 +665,7 @@ def _enrich_batch_vector(htmls, texts, model) -> dict[str, list]:
             ap_ppl(float(round(exp(-lp_l[i] / (nw_i - 1)), 6)))
         # scrub (gated; cleared rows are provably untouched)
         if need_scrub[i]:
-            out_txt, c = scrub(txt)
+            out_txt, c = scrub(txt_by_i[i])
             e, p_ip, ph, sl = (c["pii_email"], c["pii_ip"],
                                c["pii_phone"], c["toxicity_slur"])
             ap_scr(out_txt if (e or p_ip or ph or sl) else None)
@@ -580,7 +679,7 @@ def _enrich_batch_vector(htmls, texts, model) -> dict[str, list]:
             ap_i(0)
             ap_p(0)
             ap_s(0)
-        ap_d(dup_line_l[i] if dl_eligible_l[i] else dlf(txt))
+        ap_d(dup_line_l[i] if dl_eligible_l[i] else dlf(txt_by_i[i]))
 
     return {
         "lang_pred": lang_pred,

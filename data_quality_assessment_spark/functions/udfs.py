@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -119,10 +120,10 @@ ENRICH_SCHEMA = T.StructType([
 ])
 
 
-@F.pandas_udf(ENRICH_SCHEMA)
+@F.arrow_udf(ENRICH_SCHEMA)
 def enrich_udf(
-    batches: Iterator[tuple[pd.Series, pd.Series]],
-) -> Iterator[pd.DataFrame]:
+    batches: Iterator[tuple[pa.Array, pa.Array]],
+) -> Iterator[pa.Array]:
     """(html, text) -> the full fused enrich kernel (``kernel.py``):
     extract + langid + ppl + repetition + scrub + heuristic text stats,
     ONE ArrowEvalPython node.
@@ -132,15 +133,23 @@ def enrich_udf(
     2x|cores| Python processes plus |cores| JVM threads on the box —
     measured 3x per-core slowdown at local[32] vs local[8] from that
     oversubscription alone. One node = one worker per task, the text
-    crosses the JVM<->Python boundary once, and the stats ride along for
-    ~6µs/doc instead of ~7 JVM regex passes (see kernel.py docstring).
-    ``text_extracted`` is deliberately NOT returned — nothing downstream
-    needs the raw text again, which halves the Arrow output bytes.
+    crosses the JVM<->Python boundary once, and the stats ride along
+    for microseconds per doc instead of ~7 JVM regex passes (see
+    kernel.py docstring). ``text_extracted`` is deliberately NOT
+    returned — nothing downstream needs the raw text again, which
+    halves the Arrow output bytes.
+
+    r6: Arrow-NATIVE UDF (Spark 4 ``arrow_udf``): batches arrive and
+    return as pyarrow arrays — no pandas Series of per-row bytes
+    objects on the way in, no DataFrame->Arrow conversion on the way
+    out, and html extraction runs as a C cast + RE2 tag strip
+    (``kernel.enrich_batch_arrow``; per-row fallback keeps
+    errors='replace' semantics for invalid UTF-8).
     """
-    from .kernel import enrich_batch
+    from .kernel import enrich_batch_arrow
 
     for htmls, texts in batches:
-        yield pd.DataFrame(enrich_batch(htmls, texts))
+        yield enrich_batch_arrow(htmls, texts)
 
 
 @F.pandas_udf(T.StringType())

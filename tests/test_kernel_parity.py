@@ -189,3 +189,29 @@ def test_ppl_batch_matches_perplexity():
     for t, g in zip(texts, got):
         txt = t if isinstance(t, str) else ""
         assert g == m.perplexity(txt, textcore.tokenize(txt)), repr(t)
+
+
+def test_arrow_batch_parity():
+    """r6: the Arrow-native entry (enrich_batch_arrow) must match the
+    scalar reference bit-for-bit, including the vectorized html
+    extraction and its invalid-UTF-8 whole-batch fallback."""
+    import pyarrow as pa
+
+    from data_quality_assessment_spark.sources.fixture_gen import gen_pages_fast
+
+    pdf = gen_pages_fast(400, seed=21)
+    htmls = [bytes(b) if b is not None else None for b in pdf["html"]]
+    texts = list(pdf["text"])
+    # splice in edge rows: invalid utf-8 html, empty html, html None+text
+    htmls += [b"<html><body>\xff\xfebroken</body></html>", b"", None, None]
+    texts += [None, None, "plain text row", None]
+    ref = kernel._enrich_batch_scalar(htmls, texts)
+    st = kernel.enrich_batch_arrow(
+        pa.array(htmls, type=pa.binary()), pa.array(texts, type=pa.string())
+    )
+    for k in kernel.ENRICH_COLS:
+        got = st.field(k).to_pylist()
+        want = list(ref[k])
+        for i, (x, y) in enumerate(zip(want, got)):
+            ok = (x == y) or (x is None and y is None)
+            assert ok, (k, i, x, y)
